@@ -1,0 +1,98 @@
+"""Forward-Euler pricing method (reference L4: NMCH_FE_* family).
+
+The reference's kernel-variant ladder (K1 shared-mem tree reduction,
+K2 warp shuffle, K2_PHILOX normal4, K3 states-in-shared-memory —
+``include/NMCH/methods/NMCH_FE.hpp``) and its memory-management ladder
+(MM/PgM/PiM) don't map onto TPU hardware one-to-one; the TPU-native
+equivalent is a small set of interchangeable *engines*:
+
+    engine="pallas" (default) — the fused VMEM-resident kernel
+                                (ops/fe_pallas.py), the analogue of K3;
+    engine="scan"             — the pure-JAX golden model (ops/fe.py),
+                                the analogue of the K1 baseline and the
+                                oracle for kernel tests;
+
+and *rng* backends:
+
+    rng="philox" (default)    — counter-based Philox4x32-10 (what the
+                                reference's default kernels use), same
+                                bitstream in both engines;
+    rng="tpu"                 — hardware PRNG, fastest (pallas only).
+
+The MM/PgM/PiM memory ladder is N/A on TPU (results live in device
+memory and stream back as two floats; there is no host-pinned/managed
+distinction) — documented rather than faked, per SURVEY.md §7.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..params import HestonParams, SimConfig
+from ..results import SimResult
+from ..rng.philox import split_seed
+from ..rng.streams import PathStreams
+from ..ops.fe import fe_moments_scan, path_index_grid
+from ..ops.fe_pallas import fe_moments_pallas
+from ..utils.timing import Timer
+from .base import NMCH
+
+
+class NMCH_FE(NMCH):
+    """Euler-scheme pricer with the reference's 5-step lifecycle."""
+
+    method_name = "FORWARD-EULER"
+
+    def __init__(self, cfg: SimConfig, params: HestonParams,
+                 engine: str = "pallas", rng: str = "philox",
+                 interpret: bool | None = None):
+        super().__init__(cfg, params)
+        if engine not in ("pallas", "scan"):
+            raise ValueError(f"unknown engine {engine!r}")
+        self.engine = engine
+        self.rng = rng
+        # interpret-mode fallback lets the pallas engine run on CPU
+        # (tests / machines without a TPU)
+        if interpret is None:
+            interpret = jax.default_backend() not in ("tpu", "axon")
+        self.interpret = interpret
+
+    # -- lifecycle --------------------------------------------------------
+    def init(self, seed: int | None = None) -> None:
+        """Create the persistent per-path streams (reference init(seed):
+        alloc + curand_init grid, NMCH_FE.cu:368-386). Counter-based RNG
+        needs no state arrays, so this is O(1); we warm up the compile
+        cache instead (the analogue of the reference's one-off init cost).
+        """
+        seed = self.cfg.seed if seed is None else seed
+        with Timer() as t:
+            self.streams = PathStreams(seed=seed, n_paths=self.cfg.n_paths)
+        self.init_time_ms = t.ms
+
+    def _moments(self, epoch: int):
+        pv = self.params.as_array()
+        k0, k1 = self.streams.key_words
+        if self.engine == "pallas":
+            sw = jnp.stack([jnp.uint32(k0), jnp.uint32(k1)])
+            return fe_moments_pallas(
+                pv, sw, jnp.uint32(epoch), jnp.uint32(0),
+                N=self.cfg.N, n_paths=self.cfg.n_paths,
+                rng=self.rng, interpret=self.interpret)
+        pidx = path_index_grid(self.cfg.n_paths)
+        return jax.jit(fe_moments_scan, static_argnums=1)(
+            pv, self.cfg.N, pidx, jnp.uint32(epoch), k0, k1)
+
+    def compute(self) -> SimResult:
+        if self.streams is None:
+            raise RuntimeError("call init(seed) before compute()")
+        epoch = self.streams.next_epoch()
+        with Timer() as t:
+            m, m2 = self._moments(epoch)
+            m = float(m)          # forces device sync (honest timing)
+            m2 = float(m2)
+        self.result = SimResult(price=m, price_squared=m2,
+                                n_paths=self.cfg.n_paths,
+                                exec_time_ms=t.ms,
+                                init_time_ms=self.init_time_ms)
+        return self.result

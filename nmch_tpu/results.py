@@ -1,0 +1,72 @@
+"""Result container + confidence-interval statistics.
+
+The reference accumulates two floats on device — ``sum[0] = E[X]`` and
+``sum[1] = E[X^2]`` where X = (S_T - K)^+ / n per path — and derives a
+95% confidence-interval "err" from them (``include/NMCH/methods/
+NMCH_FE.hpp:46-55``).
+
+Two deliberate reference quirks handled here:
+
+* ``err`` preserves the reference formula *exactly*:
+      1.96 * sqrt( (1/(n-1)) * (n*E[X^2] - E[X]^2) ) / sqrt(n)
+  Note the missing ``n`` on the mean-squared term relative to the
+  textbook sample variance ``(n*E[X^2] - n*E[X]^2)/(n-1)``; for payoffs
+  with small mean the two nearly coincide, and all published reference
+  plots use this formula, so parity requires it.
+* ``ci_error`` is the statistically correct version (documented fix,
+  SURVEY.md §7 "behavioral quirks").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+
+def reference_err(mean: float, mean_sq: float, n: int) -> float:
+    """The reference's 95% CI half-width (NMCH_FE.hpp:50-55), verbatim."""
+    if n <= 1:
+        return float("nan")
+    var_like = (1.0 / (n - 1)) * (n * mean_sq - mean * mean)
+    if var_like < 0.0:
+        return float("nan")
+    return 1.96 * math.sqrt(var_like) / math.sqrt(n)
+
+
+def correct_ci_error(mean: float, mean_sq: float, n: int) -> float:
+    """Textbook 95% CI half-width from the same two accumulators."""
+    if n <= 1:
+        return float("nan")
+    var = (n / (n - 1.0)) * max(mean_sq - mean * mean, 0.0)
+    return 1.96 * math.sqrt(var) / math.sqrt(n)
+
+
+@dataclasses.dataclass
+class SimResult:
+    """One pricing run. ``price`` = E[(S_T-K)^+] (reference 'strike_price'),
+    ``price_squared`` = E[X^2] (reference name kept for parity)."""
+
+    price: float
+    price_squared: float
+    n_paths: int
+    exec_time_ms: float = float("nan")
+    init_time_ms: float = float("nan")
+
+    # Reference-compat aliases -------------------------------------------
+    @property
+    def strike_price(self) -> float:
+        return self.price
+
+    @property
+    def err(self) -> float:
+        """Reference CI formula (parity with get_err())."""
+        return reference_err(self.price, self.price_squared, self.n_paths)
+
+    @property
+    def ci_error(self) -> float:
+        """Corrected CI formula."""
+        return correct_ci_error(self.price, self.price_squared, self.n_paths)
+
+    @property
+    def std_error(self) -> float:
+        return self.ci_error / 1.96

@@ -1,0 +1,45 @@
+"""Persistent per-path RNG streams (the reference's curand-state contract).
+
+In the reference, every simulation kernel loads its curand state from
+global memory and writes it back at the end (``NMCH_FE.cu:29,81,303``;
+``NMCH_EM.cu:154,280,368``) so that repeated ``compute()`` calls — e.g.
+the exploration sweep (``exploration.cu:14-17``) — draw fresh,
+non-overlapping randomness without re-initialization.
+
+Counter-based equivalent: a stream is (seed, path_idx, epoch); the epoch
+is bumped after every simulation call.  Nothing is stored per path — the
+"state" is two integers — which is the whole point of counter-based RNG
+on an accelerator: no state arrays to move through HBM (the reference
+pays a 7 ms curand-init kernel + a state array read/write per launch;
+we pay nothing).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from .philox import split_seed
+
+
+@dataclasses.dataclass
+class PathStreams:
+    """Tracks the epoch so successive compute() calls continue the streams."""
+
+    seed: int
+    n_paths: int
+    epoch: int = 0
+
+    def init(self, seed: int) -> None:
+        """Reference ``init(seed)``: restart all streams from scratch."""
+        self.seed = int(seed)
+        self.epoch = 0
+
+    def next_epoch(self) -> int:
+        """Claim an epoch for one simulation call and advance."""
+        e = self.epoch
+        self.epoch += 1
+        return e
+
+    @property
+    def key_words(self):
+        return split_seed(self.seed)

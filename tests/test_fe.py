@@ -1,0 +1,115 @@
+"""FE scheme tests: golden-vs-kernel parity + statistical oracle checks.
+
+Mirrors the reference's verification strategy (SURVEY.md §4) but
+mechanized: price within CI of the *real* Heston semi-analytic oracle,
+CI-error ~ 1/sqrt(paths) scaling, engine equivalence, and the
+persistent-stream contract across compute() calls.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nmch_tpu.params import HestonParams, SimConfig
+from nmch_tpu.results import SimResult
+from nmch_tpu.rng.philox import split_seed
+from nmch_tpu.ops.fe import fe_moments_scan, fe_terminal, path_index_grid
+from nmch_tpu.ops.fe_pallas import fe_moments_pallas
+from nmch_tpu.oracle import heston_call_undiscounted
+
+P = HestonParams()
+
+
+def _scan_moments(params, n_paths, N, seed=1234, epoch=0):
+    k0, k1 = split_seed(seed)
+    m, m2 = jax.jit(fe_moments_scan, static_argnums=1)(
+        params.as_array(), N, path_index_grid(n_paths), jnp.uint32(epoch),
+        k0, k1)
+    return float(m), float(m2)
+
+
+def test_price_within_ci_of_heston_oracle():
+    n_paths, N = 65536, 500
+    m, m2 = _scan_moments(P, n_paths, N)
+    res = SimResult(m, m2, n_paths)
+    oracle = heston_call_undiscounted(P)
+    # CI + small allowance for the O(dt) Euler discretization bias
+    assert abs(res.price - oracle) < 3 * res.ci_error + 2e-3
+
+
+def test_ci_error_scales_inverse_sqrt_paths():
+    N = 200
+    errs = []
+    for n_paths in (8192, 32768, 131072):
+        m, m2 = _scan_moments(P, n_paths, N)
+        errs.append(SimResult(m, m2, n_paths).ci_error)
+    # each 4x path increase should roughly halve the error
+    assert errs[0] / errs[1] == pytest.approx(2.0, rel=0.25)
+    assert errs[1] / errs[2] == pytest.approx(2.0, rel=0.25)
+
+
+def test_pallas_interpret_matches_scan():
+    """The fused kernel and the golden engine consume identical Philox
+    draws, so prices agree to summation-order tolerance."""
+    n_paths, N = 2048, 64
+    m_s, m2_s = _scan_moments(P, n_paths, N)
+    k0, k1 = split_seed(1234)
+    sw = jnp.stack([jnp.uint32(k0), jnp.uint32(k1)])
+    m_p, m2_p = fe_moments_pallas(P.as_array(), sw, jnp.uint32(0),
+                                  jnp.uint32(0), N=N, n_paths=n_paths,
+                                  interpret=True)
+    assert float(m_p) == pytest.approx(m_s, rel=1e-6)
+    assert float(m2_p) == pytest.approx(m2_s, rel=1e-6)
+
+
+def test_pallas_odd_N_matches_scan():
+    n_paths, N = 1024, 33
+    m_s, _ = _scan_moments(P, n_paths, N)
+    k0, k1 = split_seed(1234)
+    sw = jnp.stack([jnp.uint32(k0), jnp.uint32(k1)])
+    m_p, _ = fe_moments_pallas(P.as_array(), sw, jnp.uint32(0),
+                               jnp.uint32(0), N=N, n_paths=n_paths,
+                               interpret=True)
+    assert float(m_p) == pytest.approx(m_s, rel=1e-6)
+
+
+def test_epochs_give_fresh_independent_draws():
+    n_paths, N = 16384, 100
+    prices = [
+        _scan_moments(P, n_paths, N, epoch=e)[0] for e in range(4)
+    ]
+    assert len(set(prices)) == 4  # all distinct
+    # and all near the oracle
+    oracle = heston_call_undiscounted(P)
+    for p in prices:
+        assert abs(p - oracle) < 0.01
+
+
+def test_base_path_offsets_continue_streams():
+    """Sharded chips use disjoint base_path offsets — verify offset paths
+    reproduce the unsharded draws (stream = function of absolute index)."""
+    params = P.as_array()
+    k0, k1 = split_seed(42)
+    full = fe_terminal(params, 16, path_index_grid(256), jnp.uint32(0),
+                       k0, k1)[0]
+    hi_half = fe_terminal(params, 16, path_index_grid(128, base=128),
+                          jnp.uint32(0), k0, k1)[0]
+    np.testing.assert_array_equal(np.asarray(full)[1:], np.asarray(hi_half))
+
+
+def test_variance_reflection_keeps_v_nonnegative():
+    params = HestonParams(sigma=1.0, k=0.1, theta=0.01)  # violent vol-of-vol
+    k0, k1 = split_seed(7)
+    _, v_T = fe_terminal(params.as_array(), 100, path_index_grid(1024),
+                         jnp.uint32(0), k0, k1)
+    assert (np.asarray(v_T) >= 0).all()
+
+
+def test_r_nonzero_drift():
+    """E[S_T] = S_0 e^{rT} under the risk-neutral measure."""
+    params = HestonParams(r=0.1)
+    k0, k1 = split_seed(3)
+    S_T, _ = fe_terminal(params.as_array(), 250, path_index_grid(65536),
+                         jnp.uint32(0), k0, k1)
+    assert float(jnp.mean(S_T)) == pytest.approx(np.exp(0.1), abs=5e-3)

@@ -1,0 +1,113 @@
+"""RNG layer tests: Philox4x32-10 correctness + stream semantics.
+
+Strategy per SURVEY.md §4: an independent arbitrary-precision Python
+implementation is the correctness oracle for the 16-bit-split vector
+implementation; distributional and stream-separation properties are
+checked statistically (the reference had no RNG tests at all).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from nmch_tpu.rng import (
+    philox4x32, mulhilo32, split_seed, uniform_open01, boxmuller,
+    PathStreams,
+)
+
+M0, M1, W0, W1 = 0xD2511F53, 0xCD9E8D57, 0x9E3779B9, 0xBB67AE85
+MASK = 0xFFFFFFFF
+
+
+def ref_philox(ctr, key, rounds=10):
+    """Independent big-int reference (per Salmon et al. SC'11 spec)."""
+    c0, c1, c2, c3 = ctr
+    k0, k1 = key
+    for _ in range(rounds):
+        p0, p1 = M0 * c0, M1 * c2
+        hi0, lo0 = p0 >> 32, p0 & MASK
+        hi1, lo1 = p1 >> 32, p1 & MASK
+        c0, c1, c2, c3 = hi1 ^ c1 ^ k0, lo1, hi0 ^ c3 ^ k1, lo0
+        k0, k1 = (k0 + W0) & MASK, (k1 + W1) & MASK
+    return c0, c1, c2, c3
+
+
+def test_mulhilo32_exhaustive_random():
+    rng = np.random.default_rng(42)
+    a = rng.integers(0, 2**32, size=1000, dtype=np.uint32)
+    b = rng.integers(0, 2**32, size=1000, dtype=np.uint32)
+    hi, lo = mulhilo32(jnp.asarray(a), jnp.asarray(b))
+    full = a.astype(np.uint64) * b.astype(np.uint64)
+    np.testing.assert_array_equal(np.asarray(hi), (full >> 32).astype(np.uint32))
+    np.testing.assert_array_equal(np.asarray(lo), (full & MASK).astype(np.uint32))
+
+
+def test_philox_matches_bigint_reference():
+    rng = np.random.default_rng(7)
+    ctrs = rng.integers(0, 2**32, size=(64, 4), dtype=np.uint32)
+    keys = rng.integers(0, 2**32, size=(64, 2), dtype=np.uint32)
+    got = philox4x32(*(jnp.asarray(ctrs[:, i]) for i in range(4)),
+                     jnp.asarray(keys[:, 0]), jnp.asarray(keys[:, 1]))
+    for row in range(64):
+        exp = ref_philox([int(x) for x in ctrs[row]],
+                         [int(x) for x in keys[row]])
+        assert tuple(int(np.asarray(g)[row]) for g in got) == exp
+
+
+def test_philox_edge_counters():
+    for ctr in ([0, 0, 0, 0], [MASK] * 4, [1, 0, 0, 0], [0, 0, 0, 1]):
+        for key in ([0, 0], [MASK, MASK], [1234, 0]):
+            exp = ref_philox(list(ctr), list(key))
+            got = philox4x32(*(jnp.uint32(c) for c in ctr),
+                             jnp.uint32(key[0]), jnp.uint32(key[1]))
+            assert tuple(int(g) for g in got) == exp
+
+
+def test_streams_disjoint_across_paths_and_epochs():
+    """No collisions between (path, epoch) streams over a decent sample."""
+    paths = jnp.arange(4096, dtype=jnp.uint32)
+    k0, k1 = split_seed(1234)
+    outs = []
+    for epoch in (0, 1):
+        x = philox4x32(jnp.zeros_like(paths), jnp.uint32(epoch),
+                       paths, jnp.zeros_like(paths), k0, k1)
+        outs.append(np.stack([np.asarray(v) for v in x], -1))
+    allv = np.concatenate(outs).reshape(-1)
+    assert len(np.unique(allv)) == len(allv)
+
+
+def test_uniform_range_and_moments():
+    c = jnp.arange(1 << 16, dtype=jnp.uint32)
+    k0, k1 = split_seed(99)
+    x0, x1, _, _ = philox4x32(c, jnp.uint32(0), jnp.uint32(0), jnp.uint32(0),
+                              k0, k1)
+    u = np.asarray(uniform_open01(x0))
+    assert (u > 0).all() and (u <= 1).all()
+    n = len(u)
+    assert abs(u.mean() - 0.5) < 4 / np.sqrt(12 * n)
+    assert abs(u.std() - np.sqrt(1 / 12)) < 5e-3
+
+
+def test_boxmuller_moments_and_correlation():
+    c = jnp.arange(1 << 17, dtype=jnp.uint32)
+    k0, k1 = split_seed(5)
+    x0, x1, _, _ = philox4x32(c, jnp.uint32(0), jnp.uint32(0), jnp.uint32(0),
+                              k0, k1)
+    g1, g2 = boxmuller(uniform_open01(x0), uniform_open01(x1))
+    g1, g2 = np.asarray(g1), np.asarray(g2)
+    n = len(g1)
+    for g in (g1, g2):
+        assert abs(g.mean()) < 4 / np.sqrt(n)
+        assert abs(g.std() - 1) < 0.01
+        # kurtosis of a normal is 3
+        assert abs((g**4).mean() - 3) < 0.15
+    assert abs(np.corrcoef(g1, g2)[0, 1]) < 4 / np.sqrt(n)
+
+
+def test_pathstreams_epoch_advance():
+    s = PathStreams(seed=1234, n_paths=100)
+    assert s.next_epoch() == 0
+    assert s.next_epoch() == 1
+    s.init(777)
+    assert s.seed == 777
+    assert s.next_epoch() == 0
