@@ -1,0 +1,72 @@
+"""Headline benchmark: FE path·steps/sec on one chip.
+
+Reference baseline (BASELINE.md): FE_K1 52.88 ms at 2^19 paths x
+N=10^4 on the (unnamed) CUDA GPU => 99.1 G path·steps/s.  We run the
+same config on one TPU chip with the fused Pallas kernel and report
+
+    {"metric": "fe_path_steps_per_sec", "value": ..., "unit":
+     "path_steps/s", "vs_baseline": value / 99.1e9}
+
+Timing methodology: compile + warm-up discarded (like the reference's
+exploration warm-up, exploration.cu:65-67), then K runs dispatched
+back-to-back and materialized at the end — the queued schedule hides
+the axon tunnel's ~28 ms per-call RPC latency that a per-call sync
+would mis-attribute to the kernel.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+N_PATHS = 1 << 19
+N_STEPS = 10_000
+BASELINE = 99.1e9      # G path·steps/s, profilings/timings.txt:5-13
+REPS = 5
+
+
+def main() -> None:
+    from nmch_tpu.params import HestonParams
+    from nmch_tpu.rng.philox import split_seed
+    from nmch_tpu.ops.fe_pallas import fe_moments_pallas
+
+    params = HestonParams()
+    k0, k1 = split_seed(1234)
+    sw = jnp.stack([jnp.uint32(k0), jnp.uint32(k1)])
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    # rng="tpu" (hardware PRNG) is the fast engine; philox is the
+    # reproducible default.  Bench the fast one, like the reference
+    # benches its fastest variant (K3).
+    rng = "tpu" if on_tpu else "philox"
+
+    def run(epoch):
+        return fe_moments_pallas(params.as_array(), sw, jnp.uint32(epoch),
+                                 jnp.uint32(0), N=N_STEPS, n_paths=N_PATHS,
+                                 rng=rng, interpret=not on_tpu)
+
+    # compile + warm-up (discarded)
+    m, m2 = run(0)
+    float(m), float(m2)
+
+    t0 = time.perf_counter()
+    outs = [run(1 + i) for i in range(REPS)]
+    # materialize everything (block_until_ready under-waits on axon)
+    vals = [(float(a), float(b)) for a, b in outs]
+    dt = (time.perf_counter() - t0) / REPS
+    throughput = N_PATHS * N_STEPS / dt
+
+    price = vals[-1][0]
+    print(json.dumps({
+        "metric": "fe_path_steps_per_sec",
+        "value": round(throughput, 1),
+        "unit": "path_steps/s",
+        "vs_baseline": round(throughput / BASELINE, 4),
+        "config": f"2^19 paths x N=10^4, rng={rng}, price={price:.6f}",
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,94 @@
+"""``nmch`` CLI — the reference's single-run driver.
+
+Same flag surface as ``src/NMCH/test/nmch.cu:67-113`` (--NTPB --NB --T
+--S_0 --v_0 --r --k --rho --theta --sigma --N --seed --method), with
+the reference's *actual* defaults (NTPB=512, NB=512, N=1000, seed=1234
+— nmch.cu:52-64; the reference's --help text claims NTPB=1024/N=50,
+a documented bug we fix rather than copy, SURVEY.md §5 "config").
+
+TPU-native extras: --engine pallas|scan, --rng philox|tpu, --devices
+all|1 (shard paths over every chip on the host via parallel/mesh.py),
+and --oracle to print the real semi-analytic Heston price next to the
+reference's Black–Scholes-with-vol-of-vol "true price".
+
+Run: ``python -m nmch_tpu.cli --method fe`` (or the ``nmch`` wrapper).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from .params import HestonParams, SimConfig
+from .methods.fe import NMCH_FE
+from .methods.em import NMCH_EM
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="nmch",
+        description="TPU-native Heston Monte Carlo pricer (NMCH rebuild)")
+    p.add_argument("--NTPB", type=int, default=512,
+                   help="paths per block-equivalent (default: 512)")
+    p.add_argument("--NB", type=int, default=512,
+                   help="number of blocks-equivalent (default: 512)")
+    p.add_argument("--T", type=float, default=1.0, help="maturity")
+    p.add_argument("--S_0", type=float, default=1.0, help="spot (=strike)")
+    p.add_argument("--v_0", type=float, default=0.1, help="initial variance")
+    p.add_argument("--r", type=float, default=0.0, help="risk-free rate")
+    p.add_argument("--k", type=float, default=0.5, help="mean reversion")
+    p.add_argument("--rho", type=float, default=-0.7, help="correlation")
+    p.add_argument("--theta", type=float, default=0.1,
+                   help="long-term variance")
+    p.add_argument("--sigma", type=float, default=0.3, help="vol of vol")
+    p.add_argument("--N", type=int, default=1000, help="time steps")
+    p.add_argument("--seed", type=int, default=1234, help="RNG seed")
+    p.add_argument("--method", choices=["fe", "em"], default="fe")
+    # TPU-native extensions
+    p.add_argument("--engine", choices=["pallas", "scan"], default="pallas")
+    p.add_argument("--rng", choices=["philox", "tpu"], default="philox")
+    p.add_argument("--oracle", action="store_true",
+                   help="also print the semi-analytic Heston price")
+    p.add_argument("--no-warmup", action="store_true",
+                   help="skip the untimed warm-up run (timing will include "
+                        "compilation, like the reference's first run)")
+    return p
+
+
+def run(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    params = HestonParams(T=args.T, S_0=args.S_0, v_0=args.v_0, r=args.r,
+                          k=args.k, rho=args.rho, theta=args.theta,
+                          sigma=args.sigma)
+    cfg = SimConfig(NTPB=args.NTPB, NB=args.NB, N=args.N, seed=args.seed)
+
+    cls = NMCH_FE if args.method == "fe" else NMCH_EM
+    kwargs = {"engine": args.engine}
+    if args.method == "fe":
+        kwargs["rng"] = args.rng
+    elif args.rng != "philox":
+        print("note: EM supports --rng philox only; ignoring --rng",
+              file=sys.stderr)
+    m = cls(cfg, params, **kwargs)
+    m.init(args.seed)
+    if not args.no_warmup:
+        # discard the first (compiling) run, like exploration.cu:65-67;
+        # the warm-up draws its own epoch so the timed run still uses
+        # fresh randomness
+        m.compute()
+    m.compute()
+    m.print_stats()
+    if args.oracle:
+        from .oracle import heston_call_undiscounted
+        print(f"Semi-analytic Heston price (undiscounted): "
+              f"{heston_call_undiscounted(params):f}")
+    m.finalize()
+    return 0
+
+
+def main() -> None:
+    raise SystemExit(run())
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,110 @@
+"""Parameter-space exploration sweep — the reference's ``exploration``.
+
+Reproduces ``src/NMCH/test/exploration.cu``: sweep kappa in [0.1, 10],
+theta in [0.01, 0.5], sigma in [0.1, 1] in 5 steps each, skip
+infeasible ``20*k*theta < sigma^2`` combos (exploration.cu:76,105), do
+one warm-up compute() per method first ("the first run is always slow",
+:65-67 — on TPU that's the jit compile), reuse the same RNG streams
+across every point via the setters (:14-17), and print the identical
+CSV: ``method, k, theta, sigma, execution_time, err``.
+
+Reference geometry: NTPB=512, NB=10 (5,120 paths), N=1000, XORWOW K3.
+We default to the same path count with the Philox-stream pallas engine.
+
+TPU-native speed note: because parameters are *traced* inputs, the
+entire sweep reuses a single compiled kernel per method — the analogue
+of the reference's persistent kernel, with zero recompiles.
+
+Run: ``python -m nmch_tpu.explore [--NB 10] [--out sweep.csv]``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from .params import HestonParams, SimConfig
+from .methods.fe import NMCH_FE
+from .methods.em import NMCH_EM
+
+K_MIN, K_MAX = 0.1, 10.0
+THETA_MIN, THETA_MAX = 0.01, 0.5
+SIGMA_MIN, SIGMA_MAX = 0.1, 1.0
+STEPS = 5
+
+
+def _grid(lo: float, hi: float, steps: int = STEPS):
+    """The reference's inclusive stepped loop
+    (for(x=lo; x<=hi; x+=(hi-lo)/steps))."""
+    step = (hi - lo) / steps
+    out = []
+    x = lo
+    # float-accumulation loop like the reference; bound the count
+    for _ in range(steps + 2):
+        if x > hi + 1e-9:
+            break
+        out.append(x)
+        x += step
+    return out
+
+
+def feasible(k: float, theta: float, sigma: float) -> bool:
+    """The reference's sweep filter: skip when 20*k*theta < sigma^2
+    ('the variance of the FE is too small otherwise',
+    exploration.cu:76)."""
+    return 20.0 * k * theta >= sigma * sigma
+
+
+def sweep(method_obj, name: str, out=sys.stdout):
+    """Warm up, then sweep sigma x theta x kappa with stream reuse."""
+    method_obj.compute()  # warm-up, discarded (exploration.cu:65-67)
+    for sigma in _grid(SIGMA_MIN, SIGMA_MAX):
+        for theta in _grid(THETA_MIN, THETA_MAX):
+            for k in _grid(K_MIN, K_MAX):
+                if not feasible(k, theta, sigma):
+                    continue
+                method_obj.set_theta(theta)
+                method_obj.set_sigma(sigma)
+                method_obj.set_k(k)
+                res = method_obj.compute()
+                print(f"{name}, {k:f}, {theta:f}, {sigma:f}, "
+                      f"{res.exec_time_ms:f}, {res.err:f}",
+                      file=out, flush=True)
+
+
+def run(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        prog="exploration",
+        description="(k, theta, sigma) sweep; CSV on stdout")
+    p.add_argument("--NTPB", type=int, default=512)
+    p.add_argument("--NB", type=int, default=10)       # exploration.cu:25
+    p.add_argument("--N", type=int, default=1000)
+    p.add_argument("--seed", type=int, default=1234)
+    p.add_argument("--engine", choices=["pallas", "scan"], default="pallas")
+    p.add_argument("--methods", default="fe,em",
+                   help="comma-separated subset of fe,em")
+    p.add_argument("--out", default=None, help="write CSV here (default "
+                   "stdout, like the reference)")
+    args = p.parse_args(argv)
+
+    cfg = SimConfig(NTPB=args.NTPB, NB=args.NB, N=args.N, seed=args.seed)
+    params = HestonParams()
+    out = open(args.out, "w") if args.out else sys.stdout
+    try:
+        print("method, k, theta, sigma, execution_time, err", file=out,
+              flush=True)
+        methods = [m.strip() for m in args.methods.split(",") if m.strip()]
+        for name in methods:
+            cls = NMCH_FE if name == "fe" else NMCH_EM
+            m = cls(cfg, params, engine=args.engine)
+            m.init(args.seed)
+            sweep(m, name, out)
+            m.finalize()
+    finally:
+        if args.out:
+            out.close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(run())

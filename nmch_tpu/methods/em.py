@@ -1,0 +1,76 @@
+"""Broadie–Kaya exact-method pricer (reference L4: NMCH_EM_* family).
+
+Same engine/rng structure as methods/fe.py; the reference's
+NMCH_EM_K{1,2,3}_MM ladder (``src/NMCH/methods/NMCH_EM.cu:373-582``)
+maps to engine="pallas" (fused kernel, ≙ K3) and engine="scan"
+(pure-JAX golden, ≙ K1 baseline).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..params import HestonParams, SimConfig
+from ..results import SimResult
+from ..rng.streams import PathStreams
+from ..ops.em import em_moments_scan
+from ..ops.fe import path_index_grid
+from ..ops.em_pallas import em_moments_pallas
+from ..utils.timing import Timer
+from .base import NMCH
+
+
+class NMCH_EM(NMCH):
+    """Exact-scheme pricer with the reference's 5-step lifecycle."""
+
+    method_name = "EXACT METHOD"
+
+    def __init__(self, cfg: SimConfig, params: HestonParams,
+                 engine: str = "pallas", rng: str = "philox",
+                 interpret: bool | None = None):
+        super().__init__(cfg, params)
+        if engine not in ("pallas", "scan"):
+            raise ValueError(f"unknown engine {engine!r}")
+        if rng != "philox":
+            raise ValueError("NMCH_EM currently supports rng='philox' only "
+                             "(lane-local stream consumption is required by "
+                             "the rejection samplers)")
+        self.engine = engine
+        self.rng = rng
+        if interpret is None:
+            interpret = jax.default_backend() not in ("tpu", "axon")
+        self.interpret = interpret
+
+    def init(self, seed: int | None = None) -> None:
+        seed = self.cfg.seed if seed is None else seed
+        with Timer() as t:
+            self.streams = PathStreams(seed=seed, n_paths=self.cfg.n_paths)
+        self.init_time_ms = t.ms
+
+    def _moments(self, epoch: int):
+        pv = self.params.as_array()
+        k0, k1 = self.streams.key_words
+        if self.engine == "pallas":
+            sw = jnp.stack([jnp.uint32(k0), jnp.uint32(k1)])
+            return em_moments_pallas(
+                pv, sw, jnp.uint32(epoch), jnp.uint32(0),
+                N=self.cfg.N, n_paths=self.cfg.n_paths,
+                interpret=self.interpret)
+        pidx = path_index_grid(self.cfg.n_paths)
+        return jax.jit(em_moments_scan, static_argnums=1)(
+            pv, self.cfg.N, pidx, jnp.uint32(epoch), k0, k1)
+
+    def compute(self) -> SimResult:
+        if self.streams is None:
+            raise RuntimeError("call init(seed) before compute()")
+        epoch = self.streams.next_epoch()
+        with Timer() as t:
+            m, m2 = self._moments(epoch)
+            m = float(m)
+            m2 = float(m2)
+        self.result = SimResult(price=m, price_squared=m2,
+                                n_paths=self.cfg.n_paths,
+                                exec_time_ms=t.ms,
+                                init_time_ms=self.init_time_ms)
+        return self.result

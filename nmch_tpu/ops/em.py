@@ -1,0 +1,110 @@
+"""Broadie–Kaya "Exact Method" (EM) — shared core + pure-JAX golden engine.
+
+Per time step (reference ``src/NMCH/methods/NMCH_EM.cu:96-124``), the
+variance transitions through its exact noncentral-chi-square law sampled
+as a Poisson mixture of gammas:
+
+    lambda   = 2 k e^{-k dt} / (sigma^2 (1 - e^{-k dt})) * v_t
+    N_p      ~ Poisson(lambda)
+    gamma    ~ Gamma(d + N_p),  d = 2 k theta / sigma^2
+    v_{t+dt} = sigma^2 (1 - e^{-k dt}) / (2 k) * gamma
+
+with the trapezoidal integrated variance vI = sum(v_t + v_{t+dt}) * dt/2
+(the dt/2 applied once after the loop for numerical stability, exactly
+like ``NMCH_EM.cu:108,113``), and the terminal price drawn in closed
+form conditional on the variance path:
+
+    m    = ln S_0 + r T - vI/2 + (rho/sigma)(v_T - v_0 - k theta T + k vI)
+    S_T  = exp(m + sqrt((1 - rho^2) vI) * G)
+
+Note: the reference hard-codes T = 1, S_0 = 1, r = 0 here
+(``NMCH_EM.cu:116-124`` — its "k theta" term is really "k theta T");
+we implement the general formula, which reduces to the reference's
+bit-for-bit at the default parameters (SURVEY.md §7 "fix with note").
+
+RNG consumption: each path's stream counter advances lane-locally
+through the Poisson/Gamma rejection rounds (see ops/sampling.py), then
+one block for the terminal normal — so golden and Pallas engines draw
+identically.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+from jax import lax
+
+from ..rng.philox import philox4x32
+from ..rng.normal import boxmuller, uniform_open01
+from .sampling import (
+    poisson_from_stream, gamma_ms_from_stream, anchored_zeros,
+)
+from .fe import path_index_grid  # re-exported layout helper
+
+
+def em_terminal_core(params_vec, N: int, path_lo, path_hi, epoch, k0, k1):
+    """Simulate the exact scheme; returns (S_T, v_T, vI, final_ctr).
+
+    Shared verbatim by the golden engine and the Pallas kernel.
+    """
+    T, S_0, v_0, r, k, rho, theta, sigma = (params_vec[i] for i in range(8))
+    dt = T / jnp.float32(N)
+    exp_kdt = jnp.exp(-k * dt)
+    sig2 = sigma * sigma
+    d = np.float32(2.0) * k * theta / sig2
+    one_m = np.float32(1.0) - exp_kdt
+    lam_const = np.float32(2.0) * k * exp_kdt / (sig2 * one_m)
+    vfac = sig2 * one_m / (np.float32(2.0) * k)
+
+    ep = jnp.asarray(epoch, dtype=jnp.uint32)
+    # lane-anchored zeros keep Mosaic's while/fori carry layouts
+    # per-lane (see ops/sampling.py module docstring)
+    znr, fznr = anchored_zeros(path_lo)
+    v0 = fznr + v_0
+    vI0 = fznr
+    ctr0 = znr
+    d_arr = fznr + d
+
+    def step(i, carry):
+        Vt, vI, ctr = carry
+        lam = lam_const * Vt
+        N_p, ctr = poisson_from_stream(lam, ctr, ep, path_lo, path_hi,
+                                       k0, k1)
+        gam, ctr = gamma_ms_from_stream(d_arr + N_p, ctr, ep, path_lo,
+                                        path_hi, k0, k1)
+        Vt_next = vfac * gam
+        vI = vI + (Vt + Vt_next)     # dt/2 applied once after the loop
+        return (Vt_next, vI, ctr)
+
+    Vt, vI, ctr = lax.fori_loop(0, N, step, (v0, vI0, ctr0))
+    vI = vI * (dt * np.float32(0.5))
+
+    # terminal draw (one more block per path)
+    w0, w1, _, _ = philox4x32(ctr, ep, path_lo, path_hi, k0, k1)
+    g, _ = boxmuller(uniform_open01(w0), uniform_open01(w1))
+    ctr = ctr + jnp.uint32(1)
+
+    m = (jnp.log(S_0) + r * T - np.float32(0.5) * vI
+         + (rho / sigma) * (Vt - v_0 - k * theta * T + k * vI))
+    sig_eff = jnp.sqrt((np.float32(1.0) - rho * rho) * vI)
+    S_T = jnp.exp(m + sig_eff * g)
+    return S_T, Vt, vI, ctr
+
+
+def em_terminal(params_vec, N: int, path_idx, epoch, k0, k1):
+    """Golden engine entry: (S_T, v_T) for (R, 128) path indices."""
+    path_lo = path_idx.astype(jnp.uint32)
+    path_hi = jnp.zeros_like(path_lo)
+    S_T, v_T, _, _ = em_terminal_core(params_vec, N, path_lo, path_hi,
+                                      epoch, k0, k1)
+    return S_T, v_T
+
+
+def em_moments_scan(params_vec, N: int, path_idx, epoch, k0, k1):
+    """Golden engine: (E[X], E[X^2]) with X = (S_T - K)^+, K = S_0."""
+    S_T, _ = em_terminal(params_vec, N, path_idx, epoch, k0, k1)
+    K = params_vec[1]
+    payoff = jnp.maximum(S_T - K, 0.0)
+    n = jnp.float32(payoff.size)
+    return jnp.sum(payoff) / n, jnp.sum(payoff * payoff) / n

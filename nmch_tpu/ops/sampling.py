@@ -1,0 +1,230 @@
+"""Vectorized Poisson and Gamma samplers on per-path Philox streams.
+
+These are the TPU re-design of the reference EM kernel's per-thread
+samplers (``src/NMCH/methods/NMCH_EM.cu``):
+
+* ``curand_poisson`` (``NMCH_EM.cu:102,325``) -> a three-regime ladder
+  mirroring curand's algorithm selection: Knuth multiplication for
+  small lambda, Hörmann's PTRS transformed rejection for the mid range,
+  and a normal approximation for lambda >= 4000;
+* ``gamma_distribution`` (Marsaglia–Tsang, ``NMCH_EM.cu:11-55``) ->
+  the same algorithm with the alpha < 1 "boost" U^(1/alpha) hoisted
+  before the loop exactly as the reference does to avoid divergence
+  (``NMCH_EM.cu:29-38``).
+
+SIMD rejection strategy ("the hard part", SURVEY.md §7.6): on a CUDA
+SIMT machine each thread loops privately; on the VPU we run *masked
+rounds* — every round, still-active lanes draw one fresh Philox block
+from their own stream and try to accept; accepted lanes freeze their
+result and their stream counter.  Consumption is lane-local (a lane's
+draw sequence is a pure function of its own stream), so results are
+independent of tile size and identical across the golden and Pallas
+engines.  Loops are capped (escape probability < 1e-12 per lane) with
+a mean fallback for the astronomically-rare stragglers.
+
+Mosaic compatibility notes (learned the hard way):
+* ``lax.while_loop`` cannot carry bool (i1) vectors -> the active mask
+  is carried as uint32 0/1;
+* a while-carry initialized from a *splat* (e.g. ``jnp.zeros``) is
+  assigned a replicated register layout that the body's per-lane
+  updates cannot be cast back to -> every vector carry is initialized
+  from a lane-laid-out zero derived from the path-index iota
+  (``anchored_zeros``).
+
+All code is plain jnp on uint32/float32 arrays: it runs unmodified
+inside Pallas kernels and in the pure-JAX golden engine.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+from jax import lax
+
+from ..rng.philox import philox4x32
+from ..rng.normal import uniform_open01, uniform_halfopen01, boxmuller
+
+_HALF_LN_2PI = np.float32(0.9189385332046727)  # 0.5*ln(2*pi)
+
+
+def anchored_zeros(path_lo):
+    """(uint32 zeros, float32 zeros) with a lane layout Mosaic can't
+    fold to a replicated splat (see module docstring)."""
+    znr = path_lo >> np.uint32(31)          # all zero, iota-derived
+    fznr = znr.view(jnp.float32)            # bitcast: still all zero
+    return znr, fznr
+
+
+def lgamma_kp1(kf):
+    """log(k!) = lgamma(k+1) for float-valued k >= 0.
+
+    Stirling series on z >= 9, with an 8-term upward shift below
+    (lgamma(z) = lgamma(z+8) - log(z(z+1)...(z+7))).  Absolute error
+    <= ~1e-2 over the PTRS range (k < ~5000) in float32 — the same
+    order as curand's single-precision sampler arithmetic.
+    """
+    z = kf + np.float32(1.0)
+    shift = z < np.float32(9.0)
+    prod = z
+    for i in range(1, 8):
+        prod = prod * (z + np.float32(float(i)))
+    logm = jnp.where(shift, jnp.log(prod), np.float32(0.0))
+    zz = jnp.where(shift, z + np.float32(8.0), z)
+    lz = jnp.log(zz)
+    inv = np.float32(1.0) / zz
+    stirling = ((zz - np.float32(0.5)) * lz - zz + _HALF_LN_2PI
+                + inv * (np.float32(1.0 / 12.0)
+                         - inv * inv * np.float32(1.0 / 360.0)))
+    return stirling - logm
+
+
+def _draw4(ctr, epoch, path_lo, path_hi, k0, k1):
+    """One Philox block per lane at that lane's current counter."""
+    return philox4x32(ctr, epoch, path_lo, path_hi, k0, k1)
+
+
+# regime thresholds (mirrors curand's published algorithm switching)
+_POISSON_SMALL = 10.0
+_POISSON_LARGE = 4000.0
+
+
+def poisson_from_stream(lam, ctr, epoch, path_lo, path_hi, k0, k1,
+                        max_rounds: int = 64):
+    """Sample N_p ~ Poisson(lam) per lane; returns (N_p_f32, new_ctr).
+
+    lam, ctr: equally-shaped f32/u32 arrays.  Each active lane consumes
+    one Philox block per round from its own stream.
+    """
+    lam = lam.astype(jnp.float32)
+    znr, fznr = anchored_zeros(path_lo)
+    small = lam < np.float32(_POISSON_SMALL)
+    large = lam >= np.float32(_POISSON_LARGE)
+    sqrt_lam = jnp.sqrt(lam)
+    target = jnp.exp(-lam)                      # Knuth product threshold
+    # PTRS constants (Hörmann 1993, transformed rejection with squeeze)
+    b = np.float32(0.931) + np.float32(2.53) * sqrt_lam
+    a = np.float32(-0.059) + np.float32(0.02483) * b
+    invalpha = np.float32(1.1239) + np.float32(1.1328) / (b - np.float32(3.4))
+    vr = np.float32(0.9277) - np.float32(3.6224) / (b - np.float32(2.0))
+    loglam = jnp.log(lam)
+
+    def cond(st):
+        actu, _, _, _, _, rnd = st
+        return jnp.logical_and(jnp.any(actu > np.uint32(0)), rnd < max_rounds)
+
+    def body(st):
+        actu, result, t, cnt, c, rnd = st
+        active = actu > np.uint32(0)
+        w0, w1, w2, w3 = _draw4(c, epoch, path_lo, path_hi, k0, k1)
+
+        # --- large lambda: one normal-approximation draw
+        g, _ = boxmuller(uniform_open01(w0), uniform_open01(w1))
+        k_large = jnp.maximum(
+            jnp.floor(lam + sqrt_lam * g + np.float32(0.5)), np.float32(0.0))
+
+        # --- mid lambda: PTRS round
+        U = uniform_halfopen01(w0) - np.float32(0.5)
+        V = uniform_halfopen01(w1)
+        us = np.float32(0.5) - jnp.abs(U)
+        kf = jnp.floor((np.float32(2.0) * a / us + b) * U + lam
+                       + np.float32(0.43))
+        squeeze = jnp.logical_and(us >= np.float32(0.07), V <= vr)
+        rej = jnp.logical_or(kf < np.float32(0.0),
+                             jnp.logical_and(us < np.float32(0.013), V > us))
+        logacc = jnp.log(V * invalpha / (a / (us * us) + b))
+        full = logacc <= kf * loglam - lam - lgamma_kp1(kf)
+        mid_ok = jnp.logical_or(
+            squeeze, jnp.logical_and(jnp.logical_not(rej), full))
+        k_mid = jnp.maximum(kf, np.float32(0.0))
+
+        # --- small lambda: Knuth, 4 uniforms per round
+        tt, cc2 = t, cnt
+        for w in (w0, w1, w2, w3):
+            u = uniform_open01(w)
+            still = tt >= target
+            tt = jnp.where(still, tt * u, tt)
+            cc2 = cc2 + jnp.where(still, np.float32(1.0), np.float32(0.0))
+        small_done = tt < target
+        k_small = jnp.maximum(cc2 - np.float32(1.0), np.float32(0.0))
+
+        # done = small ? small_done : (large ? True : mid_ok)
+        done = jnp.logical_or(
+            jnp.logical_and(small, small_done),
+            jnp.logical_and(jnp.logical_not(small),
+                            jnp.logical_or(large, mid_ok)))
+        kd = jnp.where(small, k_small, jnp.where(large, k_large, k_mid))
+
+        newly = jnp.logical_and(active, done)
+        result = jnp.where(newly, kd, result)
+        c = jnp.where(active, c + np.uint32(1), c)
+        keep = jnp.logical_and(active, jnp.logical_not(done))
+        actu = jnp.where(keep, np.uint32(1), np.uint32(0))
+        return (actu, result, tt, cc2, c, rnd + 1)
+
+    st0 = (znr + np.uint32(1), fznr, fznr + np.float32(1.0), fznr,
+           ctr, jnp.int32(0))
+    actu, result, _, _, c, _ = lax.while_loop(cond, body, st0)
+    # straggler fallback (P < 1e-12/lane): distribution mode
+    result = jnp.where(actu > np.uint32(0),
+                       jnp.floor(lam + np.float32(0.5)), result)
+    return result, c
+
+
+def gamma_ms_from_stream(alpha0, ctr, epoch, path_lo, path_hi, k0, k1,
+                         max_rounds: int = 32):
+    """Sample Gamma(alpha0, 1) per lane via Marsaglia–Tsang;
+    returns (gamma_f32, new_ctr).
+
+    The alpha < 1 case multiplies by U^(1/alpha) with U drawn once in
+    the first round and alpha boosted by 1 — exactly the reference's
+    pre-loop hoist (NMCH_EM.cu:29-38).
+    """
+    alpha0 = alpha0.astype(jnp.float32)
+    znr, fznr = anchored_zeros(path_lo)
+    need_boost = alpha0 < np.float32(1.0)
+    alpha = alpha0 + jnp.where(need_boost, np.float32(1.0), np.float32(0.0))
+    d = alpha - np.float32(1.0 / 3.0)
+    cmul = lax.rsqrt(np.float32(9.0) * d)
+
+    def cond(st):
+        actu, _, _, _, rnd = st
+        return jnp.logical_and(jnp.any(actu > np.uint32(0)), rnd < max_rounds)
+
+    def body(st):
+        actu, result, C, c, rnd = st
+        active = actu > np.uint32(0)
+        w0, w1, w2, w3 = _draw4(c, epoch, path_lo, path_hi, k0, k1)
+        x, _ = boxmuller(uniform_open01(w0), uniform_open01(w1))
+        v1 = np.float32(1.0) + cmul * x
+        v = v1 * v1 * v1
+        u = uniform_open01(w2)
+        x2 = x * x
+        squeeze = u < np.float32(1.0) - np.float32(0.0331) * x2 * x2
+        logv = jnp.log(jnp.maximum(v, np.float32(1e-37)))
+        full = jnp.log(u) < (np.float32(0.5) * x2
+                             + d * (np.float32(1.0) - v + logv))
+        ok = jnp.logical_and(v > np.float32(0.0),
+                             jnp.logical_or(squeeze, full))
+
+        # boost factor drawn once, in each lane's first round
+        C = jnp.where(
+            rnd == 0,
+            jnp.where(need_boost,
+                      jnp.exp(jnp.log(uniform_open01(w3)) / alpha0),
+                      fznr + np.float32(1.0)),
+            C)
+
+        newly = jnp.logical_and(active, ok)
+        result = jnp.where(newly, d * v * C, result)
+        c = jnp.where(active, c + np.uint32(1), c)
+        keep = jnp.logical_and(active, jnp.logical_not(ok))
+        actu = jnp.where(keep, np.uint32(1), np.uint32(0))
+        return (actu, result, C, c, rnd + 1)
+
+    st0 = (znr + np.uint32(1), fznr, fznr + np.float32(1.0), ctr,
+           jnp.int32(0))
+    actu, result, C, c, _ = lax.while_loop(cond, body, st0)
+    # straggler fallback: distribution mean
+    result = jnp.where(actu > np.uint32(0), alpha * C, result)
+    return result, c

@@ -1,0 +1,92 @@
+"""Multi-chip path-sharded pricing over a TPU mesh.
+
+The reference is single-GPU: its only "cross-worker" communication is
+intra-device (shared-memory reductions + atomicAdd, SURVEY.md §2).
+This module is the TPU-native scale-out the reference lacks: Monte
+Carlo paths are data-parallel, so we shard the path axis over a 1-D
+``jax.sharding.Mesh`` with ``shard_map``; each chip runs the fused
+kernel (or golden engine) on its shard with a *disjoint stream range*
+(base_path offset = chip_index * paths_per_chip, so the sharded run
+draws exactly the same per-path randomness as a single-chip run), and
+two scalars (sum payoff, sum payoff^2) are combined with
+``jax.lax.psum`` over ICI — the deterministic analogue of the
+reference's float atomicAdd (``NMCH_FE.cu:74-78``), cf. SURVEY.md §5.
+
+Scaling model: throughput is linear in chips (zero cross-chip traffic
+during simulation; one 2-float psum at the end), so the 2^26-path
+BASELINE.json config is paths_per_chip = 2^26/n_chips with identical
+statistics to the single-chip run.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops.fe import fe_moments_scan, path_index_grid
+from ..ops.fe_pallas import fe_moments_pallas
+from ..ops.em import em_moments_scan
+
+PATH_AXIS = "paths"
+
+
+def make_mesh(devices=None, axis_name: str = PATH_AXIS) -> Mesh:
+    """1-D data-parallel mesh over all (or the given) devices."""
+    import numpy as np
+    devices = jax.devices() if devices is None else devices
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def sharded_moments(mesh: Mesh, params_vec, seed: int, epoch, *,
+                    N: int, n_paths: int, method: str = "fe",
+                    engine: str = "pallas", interpret: bool = False,
+                    rng: str = "philox"):
+    """(E[X], E[X^2]) over n_paths sharded across the mesh's path axis.
+
+    Every chip simulates n_paths/n_chips paths whose stream indices are
+    offset by its mesh position, then the two partial sums ride one
+    psum over ICI.  Identical results to a single-chip run with the
+    same (seed, epoch) — sharding changes the schedule, not the math.
+    """
+    n_dev = mesh.devices.size
+    if n_paths % (n_dev * 128):
+        raise ValueError(
+            f"n_paths={n_paths} must be a multiple of 128*n_devices"
+            f"={128 * n_dev}")
+    per_chip = n_paths // n_dev
+    from ..rng.philox import split_seed
+    k0, k1 = split_seed(seed)
+    seed_words = jnp.stack([jnp.uint32(k0), jnp.uint32(k1)])
+
+    def shard_fn(pv, sw, ep):
+        # promote replicated inputs to 'varying' over the path axis so
+        # loop carries derived from them type-check under shard_map's
+        # varying-manual-axes analysis (each chip's values genuinely
+        # vary: stream bases depend on axis_index)
+        pv = jax.lax.pcast(pv, (PATH_AXIS,), to="varying")
+        sw = jax.lax.pcast(sw, (PATH_AXIS,), to="varying")
+        ep = jax.lax.pcast(ep, (PATH_AXIS,), to="varying")
+        idx = jax.lax.axis_index(PATH_AXIS)
+        base = (idx.astype(jnp.uint32) * jnp.uint32(per_chip))
+        if engine == "pallas" and method == "fe":
+            m, m2 = fe_moments_pallas(pv, sw, ep, base, N=N,
+                                      n_paths=per_chip, rng=rng,
+                                      interpret=interpret)
+        else:
+            pidx = path_index_grid(per_chip) + base
+            fn = fe_moments_scan if method == "fe" else em_moments_scan
+            m, m2 = fn(pv, N, pidx, ep, sw[0], sw[1])
+        # per-chip means -> global means (equal shard sizes)
+        nd = jnp.float32(n_dev)
+        return (jax.lax.psum(m, PATH_AXIS) / nd,
+                jax.lax.psum(m2, PATH_AXIS) / nd)
+
+    fn = jax.jit(jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=(P(), P()),
+    ))
+    return fn(params_vec, seed_words, jnp.uint32(epoch))

@@ -1,0 +1,89 @@
+"""CLI + exploration sweep tests (reference L6 drivers)."""
+
+import io
+import re
+
+import pytest
+
+from nmch_tpu.cli import run as cli_run, build_parser
+from nmch_tpu.explore import feasible, _grid, sweep, run as explore_run
+from nmch_tpu.params import HestonParams, SimConfig
+from nmch_tpu.methods.fe import NMCH_FE
+
+
+def test_cli_fe_scan(capsys):
+    rc = cli_run(["--method", "fe", "--engine", "scan", "--NB", "8",
+                  "--N", "50", "--oracle"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "METHOD: FORWARD-EULER" in out
+    assert "Semi-analytic Heston price" in out
+    price = float(re.search(r"E\[X\] is equal to ([\d.]+)", out).group(1))
+    assert 0.05 < price < 0.25
+
+
+def test_cli_em_scan(capsys):
+    rc = cli_run(["--method", "em", "--engine", "scan", "--NB", "4",
+                  "--N", "20"])
+    assert rc == 0
+    assert "METHOD: EXACT METHOD" in capsys.readouterr().out
+
+
+def test_cli_defaults_match_reference():
+    a = build_parser().parse_args([])
+    # nmch.cu:52-64 actual defaults (NOT the buggy --help text)
+    assert (a.NTPB, a.NB, a.N, a.seed) == (512, 512, 1000, 1234)
+    assert (a.T, a.S_0, a.v_0, a.r) == (1.0, 1.0, 0.1, 0.0)
+    assert (a.k, a.rho, a.theta, a.sigma) == (0.5, -0.7, 0.1, 0.3)
+    assert a.method == "fe"
+
+
+def test_feasibility_filter():
+    # exploration.cu:76 — skip when 20*k*theta < sigma^2
+    assert not feasible(0.1, 0.01, 1.0)
+    assert feasible(10.0, 0.5, 0.1)
+
+
+def test_grid_is_inclusive_stepped():
+    g = _grid(0.1, 1.0)
+    assert len(g) == 6               # lo + 5 steps, inclusive
+    assert g[0] == pytest.approx(0.1)
+    assert g[-1] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_sweep_csv_shape():
+    cfg = SimConfig(NTPB=512, NB=2, N=10)
+    m = NMCH_FE(cfg, HestonParams(), engine="scan")
+    m.init(1)
+    buf = io.StringIO()
+    sweep(m, "fe", out=buf)
+    lines = [l for l in buf.getvalue().splitlines() if l.strip()]
+    assert len(lines) > 50           # most of the 6^3 grid is feasible
+    for line in lines:
+        parts = [p.strip() for p in line.split(",")]
+        assert parts[0] == "fe" and len(parts) == 6
+        k, theta, sigma, t_ms, err = map(float, parts[1:])
+        assert feasible(k, theta, sigma)
+        assert t_ms > 0 and err >= 0
+
+
+def test_explore_main_writes_csv(tmp_path):
+    out = tmp_path / "sweep.csv"
+    rc = explore_run(["--NB", "1", "--N", "5", "--engine", "scan",
+                      "--methods", "fe", "--out", str(out)])
+    assert rc == 0
+    text = out.read_text()
+    assert text.splitlines()[0].startswith("method, k, theta, sigma")
+    assert len(text.splitlines()) > 10
+
+
+def test_heatmap_from_sweep(tmp_path):
+    out = tmp_path / "sweep.csv"
+    explore_run(["--NB", "1", "--N", "5", "--engine", "scan",
+                 "--methods", "fe", "--out", str(out)])
+    from nmch_tpu.analysis.heatmap import load_sweep, plot_heatmaps
+    data = load_sweep(str(out))
+    paths = plot_heatmaps(data, value="err", outdir=str(tmp_path))
+    assert len(paths) >= 2
+    import os
+    assert all(os.path.getsize(p) > 1000 for p in paths)

@@ -1,0 +1,96 @@
+"""EM (Broadie–Kaya exact scheme) tests.
+
+Because the EM variance transition is exact, the price has *no*
+discretization bias — it must agree with the semi-analytic oracle
+within pure Monte Carlo error even at small N (the key property the
+reference demonstrates by comparing FE and EM, SURVEY.md §4.3).
+"""
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nmch_tpu.params import HestonParams, SimConfig
+from nmch_tpu.results import SimResult
+from nmch_tpu.rng.philox import split_seed
+from nmch_tpu.ops.fe import path_index_grid
+from nmch_tpu.ops.em import em_moments_scan, em_terminal
+from nmch_tpu.ops.em_pallas import em_moments_pallas
+from nmch_tpu.oracle import heston_call_undiscounted
+from nmch_tpu.methods.em import NMCH_EM
+
+P = HestonParams()
+
+
+def _scan_moments(params, n_paths, N, seed=1234, epoch=0):
+    k0, k1 = split_seed(seed)
+    m, m2 = jax.jit(em_moments_scan, static_argnums=1)(
+        params.as_array(), N, path_index_grid(n_paths), jnp.uint32(epoch),
+        k0, k1)
+    return float(m), float(m2)
+
+
+def test_price_within_ci_of_oracle():
+    m, m2 = _scan_moments(P, 16384, 100)
+    res = SimResult(m, m2, 16384)
+    oracle = heston_call_undiscounted(P)
+    assert abs(res.price - oracle) < 3.5 * res.ci_error
+
+
+def test_exactness_no_N_bias():
+    """EM transitions are exact: a coarse grid (N=16) must price as
+    well as a fine one (no O(dt) drift like FE)."""
+    oracle = heston_call_undiscounted(P)
+    m, m2 = _scan_moments(P, 32768, 16)
+    res = SimResult(m, m2, 32768)
+    assert abs(res.price - oracle) < 3.5 * res.ci_error
+
+
+def test_variance_mean_reverts():
+    """E[v_T] = theta + (v_0 - theta) e^{-kT} under CIR."""
+    params = HestonParams(v_0=0.3, theta=0.1, k=2.0)
+    k0, k1 = split_seed(5)
+    _, v_T = em_terminal(params.as_array(), 64, path_index_grid(32768),
+                         jnp.uint32(0), k0, k1)
+    expected = params.theta + (params.v_0 - params.theta) * math.exp(
+        -params.k * params.T)
+    assert float(jnp.mean(v_T)) == pytest.approx(expected, rel=0.03)
+    assert (np.asarray(v_T) > 0).all()   # exact scheme: v stays positive
+
+
+def test_pallas_interpret_matches_scan():
+    n_paths, N = 1024, 8
+    m_s, _ = _scan_moments(P, n_paths, N)
+    k0, k1 = split_seed(1234)
+    sw = jnp.stack([jnp.uint32(k0), jnp.uint32(k1)])
+    m_p, _ = em_moments_pallas(P.as_array(), sw, jnp.uint32(0),
+                               jnp.uint32(0), N=N, n_paths=n_paths,
+                               interpret=True)
+    assert float(m_p) == pytest.approx(m_s, rel=1e-6)
+
+
+def test_feller_violating_params_stay_finite():
+    """sigma large / theta small (Feller violated): gamma shape d < 1
+    exercises the alpha<1 boost; result must stay finite & sane."""
+    params = HestonParams(sigma=1.0, theta=0.01, k=1.0)
+    m, m2 = _scan_moments(params, 8192, 32)
+    assert math.isfinite(m) and math.isfinite(m2)
+    assert 0.0 <= m < 1.0
+
+
+def test_method_lifecycle():
+    m = NMCH_EM(SimConfig(NTPB=512, NB=4, N=25), P, engine="scan")
+    m.init(1234)
+    r1 = m.compute()
+    r2 = m.compute()
+    assert r1.price != r2.price         # streams continued
+    assert 0.05 < r1.price < 0.25
+    m.finalize()
+
+
+def test_em_rejects_tpu_rng():
+    with pytest.raises(ValueError):
+        NMCH_EM(SimConfig(), P, rng="tpu")

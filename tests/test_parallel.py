@@ -1,0 +1,62 @@
+"""Multi-chip sharding tests on the 8-virtual-device CPU mesh.
+
+The key invariant: sharding is schedule, not math — an n-chip run must
+reproduce the single-device run exactly (identical per-path Philox
+streams via base_path offsets, deterministic psum), a property the
+reference's atomicAdd reduction could not offer (SURVEY.md §5).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nmch_tpu.params import HestonParams
+from nmch_tpu.parallel.mesh import make_mesh, sharded_moments
+from nmch_tpu.ops.fe import fe_moments_scan, path_index_grid
+from nmch_tpu.ops.em import em_moments_scan
+from nmch_tpu.rng.philox import split_seed
+
+P = HestonParams()
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8, "conftest should provide 8 CPU devices"
+    return make_mesh(jax.devices()[:8])
+
+
+def _single(method, n_paths, N, seed=1234, epoch=0):
+    k0, k1 = split_seed(seed)
+    fn = fe_moments_scan if method == "fe" else em_moments_scan
+    m, m2 = jax.jit(fn, static_argnums=1)(
+        P.as_array(), N, path_index_grid(n_paths), jnp.uint32(epoch),
+        k0, k1)
+    return float(m), float(m2)
+
+
+@pytest.mark.parametrize("method", ["fe", "em"])
+def test_sharded_matches_single_device(mesh8, method):
+    n_paths, N = 8192, 20
+    m1, m21 = _single(method, n_paths, N)
+    m8, m28 = sharded_moments(mesh8, P.as_array(), seed=1234, epoch=0,
+                              N=N, n_paths=n_paths, method=method,
+                              engine="scan")
+    # same draws; only the reduction grouping differs (8 partial means)
+    assert float(m8) == pytest.approx(m1, rel=2e-6)
+    assert float(m28) == pytest.approx(m21, rel=2e-6)
+
+
+def test_sharded_n_paths_validation(mesh8):
+    with pytest.raises(ValueError):
+        sharded_moments(mesh8, P.as_array(), seed=1, epoch=0,
+                        N=4, n_paths=128 * 3, method="fe", engine="scan")
+
+
+def test_two_device_mesh(mesh8):
+    mesh2 = make_mesh(jax.devices()[:2])
+    m2_, _ = sharded_moments(mesh2, P.as_array(), seed=1234, epoch=0,
+                             N=20, n_paths=8192, method="fe",
+                             engine="scan")
+    m1, _ = _single("fe", 8192, 20)
+    assert float(m2_) == pytest.approx(m1, rel=2e-6)

@@ -1,0 +1,114 @@
+"""Statistical tests for the vectorized Poisson/Gamma rejection samplers.
+
+The reference has no sampler tests (SURVEY.md §4); we validate moments
+(mean, variance, skewness where informative) against theory with
+z-score bounds, across all algorithm regimes, plus the stream-counter
+contract (lane-local consumption).
+"""
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nmch_tpu.ops.sampling import (
+    poisson_from_stream, gamma_ms_from_stream, lgamma_kp1,
+)
+from nmch_tpu.rng.philox import split_seed
+
+SHAPE = (128, 128)            # 16384 samples
+N = SHAPE[0] * SHAPE[1]
+K0, K1 = split_seed(2024)
+PLO = jnp.arange(N, dtype=jnp.uint32).reshape(SHAPE)
+PHI = jnp.zeros_like(PLO)
+CTR = jnp.zeros(SHAPE, jnp.uint32)
+
+
+def _poisson(lam, epoch=0):
+    f = jax.jit(lambda l: poisson_from_stream(
+        jnp.full(SHAPE, l, jnp.float32), CTR, jnp.uint32(epoch), PLO, PHI,
+        K0, K1))
+    s, c = f(lam)
+    return np.asarray(s), np.asarray(c)
+
+
+def _gamma(a, epoch=1):
+    f = jax.jit(lambda x: gamma_ms_from_stream(
+        jnp.full(SHAPE, x, jnp.float32), CTR, jnp.uint32(epoch), PLO, PHI,
+        K0, K1))
+    s, c = f(a)
+    return np.asarray(s), np.asarray(c)
+
+
+def test_lgamma_accuracy():
+    ks = [0, 1, 2, 5, 8, 9, 20, 100, 1000, 4000]
+    got = np.asarray(jax.jit(lgamma_kp1)(jnp.array(ks, jnp.float32)))
+    for k, g in zip(ks, got):
+        assert abs(g - math.lgamma(k + 1)) < 2e-2
+
+
+@pytest.mark.parametrize("lam", [0.3, 3.0, 9.9, 10.1, 50.0, 2000.0, 5000.0])
+def test_poisson_moments_all_regimes(lam):
+    s, _ = _poisson(lam)
+    z_mean = (s.mean() - lam) / math.sqrt(lam / N)
+    assert abs(z_mean) < 4.0, f"mean z={z_mean}"
+    assert s.var() / lam == pytest.approx(1.0, rel=0.08)
+    assert (s >= 0).all()
+    assert np.allclose(s, np.round(s))  # integers
+
+
+def test_poisson_counter_advances_lane_locally():
+    s, c = _poisson(3.0)
+    # at least one lane accepted before another -> counters differ
+    assert len(np.unique(c)) > 1
+    # all counters advanced at least one round
+    assert (c >= 1).all()
+
+
+def test_poisson_deterministic_per_stream():
+    a, _ = _poisson(50.0)
+    b, _ = _poisson(50.0)
+    np.testing.assert_array_equal(a, b)
+    d, _ = _poisson(50.0, epoch=7)
+    assert not np.array_equal(a, d)
+
+
+@pytest.mark.parametrize("a", [0.3, 0.9, 1.5, 30.0, 3000.0])
+def test_gamma_moments(a):
+    s, _ = _gamma(a)
+    z_mean = (s.mean() - a) / math.sqrt(a / N)
+    assert abs(z_mean) < 4.0, f"mean z={z_mean}"
+    assert s.var() / a == pytest.approx(1.0, rel=0.08)
+    assert (s >= 0).all()
+
+
+def test_gamma_skewness_small_alpha():
+    """alpha<1 boost path: skewness of Gamma(a) is 2/sqrt(a)."""
+    a = 0.5
+    s, _ = _gamma(a)
+    skew = ((s - s.mean()) ** 3).mean() / s.std() ** 3
+    assert skew == pytest.approx(2 / math.sqrt(a), rel=0.15)
+
+
+def test_gamma_ks_against_scipy():
+    from scipy import stats
+    s, _ = _gamma(2.5)
+    _, pval = stats.kstest(s.ravel(), "gamma", args=(2.5,))
+    assert pval > 1e-4  # not a grossly wrong distribution
+
+
+def test_poisson_ks_against_scipy():
+    from scipy import stats
+    lam = 30.0
+    s, _ = _poisson(lam)
+    # chi-square GOF over a binned support
+    lo, hi = int(lam - 5 * lam**0.5), int(lam + 5 * lam**0.5)
+    bins = np.arange(lo, hi + 2)
+    obs, _ = np.histogram(s, bins=bins)
+    exp = np.diff(stats.poisson.cdf(bins - 1, lam)) * N
+    mask = exp > 5
+    chi2 = ((obs[mask] - exp[mask]) ** 2 / exp[mask]).sum()
+    dof = mask.sum() - 1
+    assert chi2 < stats.chi2.ppf(0.9999, dof)
