@@ -111,3 +111,16 @@ def test_pathstreams_epoch_advance():
     s.init(777)
     assert s.seed == 777
     assert s.next_epoch() == 0
+
+
+def test_fast_sincos_accuracy():
+    """boxmuller's turns-based sincos must match numpy to ~1e-6."""
+    from nmch_tpu.rng.normal import sincos_2pi
+    import jax
+    u = np.linspace(0, 1, 200_001, dtype=np.float64)[:-1]
+    c, s = jax.jit(sincos_2pi)(jnp.asarray(u, jnp.float32))
+    assert np.abs(np.asarray(c, np.float64) - np.cos(2 * np.pi * u)).max() < 1e-6
+    assert np.abs(np.asarray(s, np.float64) - np.sin(2 * np.pi * u)).max() < 1e-6
+    # unit circle invariant
+    rad = np.asarray(c) ** 2 + np.asarray(s) ** 2
+    assert np.abs(rad - 1.0).max() < 3e-6
