@@ -1,0 +1,59 @@
+"""Native C++ runtime cross-validation tests.
+
+The C++ library (native/nmch_native.cpp) re-implements the oracle and a
+CPU Monte Carlo with independent code (own Gauss-Legendre, own complex
+math, xoshiro128++ RNG) — agreement is strong evidence both sides are
+right.  Skipped gracefully when no toolchain is available.
+"""
+
+import math
+
+import pytest
+
+from nmch_tpu import native
+from nmch_tpu.params import HestonParams
+from nmch_tpu.results import reference_err
+from nmch_tpu.oracle import heston_call as py_heston, norm_cdf_as
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native toolchain unavailable")
+
+
+@pytest.mark.parametrize("params", [
+    HestonParams(),
+    HestonParams(k=2.0, theta=0.04, sigma=0.5, rho=-0.3, v_0=0.04),
+    HestonParams(r=0.03, T=2.0),
+    HestonParams(sigma=1.0, theta=0.01, k=1.0),   # Feller violated
+])
+def test_native_oracle_matches_python(params):
+    assert native.heston_call(params) == pytest.approx(
+        py_heston(params), abs=1e-9)
+
+
+def test_native_norm_cdf_parity():
+    lib = native.load()
+    for x in (-3.0, -0.5, 0.0, 0.7, 2.5, 11.0):
+        assert lib.nmch_norm_cdf_as(x) == pytest.approx(norm_cdf_as(x),
+                                                        abs=1e-12)
+
+
+def test_native_reference_err_parity():
+    assert native.reference_err_native(0.12, 0.045, 262144) == pytest.approx(
+        reference_err(0.12, 0.045, 262144), rel=1e-12)
+
+
+def test_cpu_mc_validates_oracle():
+    """Fully independent path: C++ Euler + xoshiro vs semi-analytic."""
+    p = HestonParams()
+    m, m2 = native.cpu_fe_moments(p, N=200, n_paths=20000, seed=7)
+    err = reference_err(m, m2, 20000)
+    assert abs(m - py_heston(p)) < 3 * err + 2e-3   # CI + Euler bias
+
+
+def test_cpu_mc_deterministic_per_seed():
+    p = HestonParams()
+    a = native.cpu_fe_moments(p, N=50, n_paths=2000, seed=42)
+    b = native.cpu_fe_moments(p, N=50, n_paths=2000, seed=42)
+    c = native.cpu_fe_moments(p, N=50, n_paths=2000, seed=43)
+    assert a == b
+    assert a != c
