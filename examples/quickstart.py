@@ -1,0 +1,48 @@
+"""Quickstart: price an ATM European call under Heston on TPU.
+
+The 5-step lifecycle (same shape as the reference's README example):
+
+    declare -> init(seed) -> compute() -> print_stats() -> finalize()
+
+Run: ``python examples/quickstart.py``
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from nmch_tpu import NMCH_FE, NMCH_EM, HestonParams, SimConfig
+from nmch_tpu.oracle import heston_call_undiscounted
+
+
+def main():
+    params = HestonParams(k=0.5, rho=-0.7, theta=0.1, sigma=0.3)
+    cfg = SimConfig(NTPB=512, NB=128, N=1000)   # 65,536 paths
+
+    print(f"Semi-analytic Heston price: "
+          f"{heston_call_undiscounted(params):.6f}\n")
+
+    for cls in (NMCH_FE, NMCH_EM):
+        m = cls(cfg, params)            # engine="pallas" by default
+        m.init(seed=1234)
+        m.compute()                     # warm-up (compiles); discard
+        m.compute()                     # timed run on fresh draws
+        m.print_stats()
+        print()
+        m.finalize()
+
+    # parameter sweep with persistent RNG streams (no re-seeding):
+    m = NMCH_FE(cfg, params)
+    m.init(seed=1234)
+    m.compute()
+    for sigma in (0.2, 0.3, 0.4):
+        m.set_sigma(sigma)
+        res = m.compute()
+        print(f"sigma={sigma}: price={res.price:.6f} +/- {res.err:.2e} "
+              f"({res.exec_time_ms:.1f} ms)")
+    m.finalize()
+
+
+if __name__ == "__main__":
+    main()

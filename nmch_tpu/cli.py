@@ -52,6 +52,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-warmup", action="store_true",
                    help="skip the untimed warm-up run (timing will include "
                         "compilation, like the reference's first run)")
+    p.add_argument("--json", action="store_true",
+                   help="emit one machine-readable JSON line instead of "
+                        "the human stats block")
     return p
 
 
@@ -76,12 +79,27 @@ def run(argv=None) -> int:
         # the warm-up draws its own epoch so the timed run still uses
         # fresh randomness
         m.compute()
-    m.compute()
-    m.print_stats()
-    if args.oracle:
-        from .oracle import heston_call_undiscounted
-        print(f"Semi-analytic Heston price (undiscounted): "
-              f"{heston_call_undiscounted(params):f}")
+    res = m.compute()
+    if args.json:
+        import json
+        rec = {
+            "method": args.method, "engine": args.engine,
+            "n_paths": cfg.n_paths, "N": cfg.N, "seed": args.seed,
+            "price": res.price, "price_squared": res.price_squared,
+            "err": res.err, "ci_error": res.ci_error,
+            "exec_time_ms": res.exec_time_ms,
+            "init_time_ms": m.init_time_ms,
+        }
+        if args.oracle:
+            from .oracle import heston_call_undiscounted
+            rec["heston_oracle"] = heston_call_undiscounted(params)
+        print(json.dumps(rec))
+    else:
+        m.print_stats()
+        if args.oracle:
+            from .oracle import heston_call_undiscounted
+            print(f"Semi-analytic Heston price (undiscounted): "
+                  f"{heston_call_undiscounted(params):f}")
     m.finalize()
     return 0
 

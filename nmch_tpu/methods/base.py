@@ -83,6 +83,37 @@ class NMCH(abc.ABC):
         """Reference CI formula, verbatim (NMCH_FE.hpp:50-55)."""
         return self.result.err
 
+    # -- checkpoint / resume ------------------------------------------------
+    def save_state(self, path: str) -> None:
+        """Persist the pricer's resumable state (RNG streams + params) to
+        JSON.  The counter-based RNG makes this two integers — the
+        analogue of the reference's device-resident curand state arrays
+        (SURVEY.md §5 'checkpoint/resume')."""
+        import dataclasses
+        import json
+        if self.streams is None:
+            raise RuntimeError("nothing to save: call init(seed) first")
+        with open(path, "w") as f:
+            json.dump({
+                "streams": self.streams.state_dict(),
+                "params": dataclasses.asdict(self.params),
+                "cfg": dataclasses.asdict(self.cfg),
+            }, f)
+
+    def load_state(self, path: str) -> None:
+        """Resume streams exactly where a saved run left off: the next
+        compute() draws the same randomness the saved pricer would have."""
+        import json
+        from ..rng.streams import PathStreams
+        from ..params import HestonParams, SimConfig
+        with open(path) as f:
+            d = json.load(f)
+        self.streams = PathStreams.from_state_dict(d["streams"])
+        self.params = HestonParams(**d["params"])
+        self.cfg = SimConfig(**d["cfg"])
+        if self.streams.n_paths != self.cfg.n_paths:
+            raise ValueError("inconsistent checkpoint: n_paths mismatch")
+
     # -- output -----------------------------------------------------------
     def print_stats(self) -> None:
         """Stats block with the same content as the reference

@@ -43,3 +43,17 @@ class PathStreams:
     @property
     def key_words(self):
         return split_seed(self.seed)
+
+    # -- checkpoint / resume ----------------------------------------------
+    # The reference persists raw curand state arrays in device memory so
+    # streams survive across kernel launches (NMCH_FE.cu:81,303); the
+    # counter-based equivalent needs only (seed, epoch), so checkpointing
+    # the RNG state of a billion-path run is two integers.
+    def state_dict(self) -> dict:
+        return {"seed": self.seed, "n_paths": self.n_paths,
+                "epoch": self.epoch}
+
+    @classmethod
+    def from_state_dict(cls, d: dict) -> "PathStreams":
+        return cls(seed=int(d["seed"]), n_paths=int(d["n_paths"]),
+                   epoch=int(d["epoch"]))
