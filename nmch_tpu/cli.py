@@ -47,6 +47,10 @@ def build_parser() -> argparse.ArgumentParser:
     # TPU-native extensions
     p.add_argument("--engine", choices=["pallas", "scan"], default="pallas")
     p.add_argument("--rng", choices=["philox", "tpu"], default="philox")
+    p.add_argument("--antithetic", action="store_true",
+                   help="antithetic-variates variance reduction (FE only; "
+                        "each path becomes a +/-G pair, CI typically "
+                        "shrinks ~2x at the same path count)")
     p.add_argument("--oracle", action="store_true",
                    help="also print the semi-analytic Heston price")
     p.add_argument("--no-warmup", action="store_true",
@@ -69,9 +73,14 @@ def run(argv=None) -> int:
     kwargs = {"engine": args.engine}
     if args.method == "fe":
         kwargs["rng"] = args.rng
-    elif args.rng != "philox":
-        print("note: EM supports --rng philox only; ignoring --rng",
-              file=sys.stderr)
+        kwargs["antithetic"] = args.antithetic
+    else:
+        if args.rng != "philox":
+            print("note: EM supports --rng philox only; ignoring --rng",
+                  file=sys.stderr)
+        if args.antithetic:
+            print("note: --antithetic is FE-only; ignoring",
+                  file=sys.stderr)
     m = cls(cfg, params, **kwargs)
     m.init(args.seed)
     if not args.no_warmup:

@@ -33,7 +33,9 @@ from ..params import HestonParams, SimConfig
 from ..results import SimResult
 from ..rng.philox import split_seed
 from ..rng.streams import PathStreams
-from ..ops.fe import fe_moments_scan, path_index_grid
+from ..ops.fe import (
+    fe_moments_scan, fe_moments_antithetic_scan, path_index_grid,
+)
 from ..ops.fe_pallas import fe_moments_pallas
 from ..utils.timing import Timer
 from .base import NMCH
@@ -46,12 +48,18 @@ class NMCH_FE(NMCH):
 
     def __init__(self, cfg: SimConfig, params: HestonParams,
                  engine: str = "pallas", rng: str = "philox",
+                 antithetic: bool = False,
                  interpret: bool | None = None):
+        """antithetic=True simulates a +/-G pair per lane and returns
+        pair-mean samples — a variance-reduction capability beyond the
+        reference (n_paths then counts PAIRS; each pair consumes one
+        plain path's randomness)."""
         super().__init__(cfg, params)
         if engine not in ("pallas", "scan"):
             raise ValueError(f"unknown engine {engine!r}")
         self.engine = engine
         self.rng = rng
+        self.antithetic = antithetic
         # interpret-mode fallback lets the pallas engine run on CPU
         # (tests / machines without a TPU)
         if interpret is None:
@@ -78,9 +86,12 @@ class NMCH_FE(NMCH):
             return fe_moments_pallas(
                 pv, sw, jnp.uint32(epoch), jnp.uint32(0),
                 N=self.cfg.N, n_paths=self.cfg.n_paths,
-                rng=self.rng, interpret=self.interpret)
+                rng=self.rng, antithetic=self.antithetic,
+                interpret=self.interpret)
         pidx = path_index_grid(self.cfg.n_paths)
-        return jax.jit(fe_moments_scan, static_argnums=1)(
+        fn = (fe_moments_antithetic_scan if self.antithetic
+              else fe_moments_scan)
+        return jax.jit(fn, static_argnums=1)(
             pv, self.cfg.N, pidx, jnp.uint32(epoch), k0, k1)
 
     def compute(self) -> SimResult:

@@ -117,3 +117,64 @@ def fe_moments_scan(params_vec, N: int, path_idx, epoch, k0, k1):
     payoff = jnp.maximum(S_T - K, 0.0)
     n = jnp.float32(payoff.size)
     return jnp.sum(payoff) / n, jnp.sum(payoff * payoff) / n
+
+
+def fe_antithetic_pair_body(j, S_p, v_p, S_m, v_m, path_lo, path_hi, epoch,
+                            k0, k1, r, k, theta, sigma, rho, sqrt_rho_c,
+                            dt, sqrt_dt, N: int):
+    """Advance an antithetic pair: the (+) copy sees (G1, G2), the (-)
+    copy sees (-G1, -G2), from the same stream draws."""
+    bits = philox4x32(jnp.uint32(0) + j.astype(jnp.uint32), epoch,
+                      path_lo, path_hi, k0, k1)
+    g0, g1, g2, g3 = normal4_from_bits(*bits)
+
+    def both(S_p, v_p, S_m, v_m, a, b):
+        S_p, v_p = fe_step(S_p, v_p, a, b, r, k, theta, sigma, rho,
+                           sqrt_rho_c, dt, sqrt_dt)
+        S_m, v_m = fe_step(S_m, v_m, -a, -b, r, k, theta, sigma, rho,
+                           sqrt_rho_c, dt, sqrt_dt)
+        return S_p, v_p, S_m, v_m
+
+    S_p, v_p, S_m, v_m = both(S_p, v_p, S_m, v_m, g0, g1)
+    if N % 2 == 0:
+        S_p, v_p, S_m, v_m = both(S_p, v_p, S_m, v_m, g2, g3)
+    else:
+        do = (2 * j + 1) < N
+        S2p, v2p, S2m, v2m = both(S_p, v_p, S_m, v_m, g2, g3)
+        S_p = jnp.where(do, S2p, S_p)
+        v_p = jnp.where(do, v2p, v_p)
+        S_m = jnp.where(do, S2m, S_m)
+        v_m = jnp.where(do, v2m, v_m)
+    return S_p, v_p, S_m, v_m
+
+
+def fe_moments_antithetic_scan(params_vec, N: int, path_idx, epoch, k0, k1):
+    """Antithetic-variates estimator (variance reduction — a capability
+    the CUDA reference lacks).  Each lane simulates a +/- pair driven
+    by (G, -G) from one stream; the sample is the pair mean
+    Y = (X+ + X-)/2, so the returned (E[Y], E[Y^2]) feed the standard
+    CI formulas with n = number of pairs (one pair uses the randomness
+    of one plain path)."""
+    T, S_0, v_0, r, k, rho, theta, sigma = (params_vec[i] for i in range(8))
+    dt = T / jnp.float32(N)
+    sqrt_dt = jnp.sqrt(dt)
+    sqrt_rho_c = jnp.sqrt(jnp.float32(1.0) - rho * rho)
+    path_lo = path_idx.astype(jnp.uint32)
+    path_hi = jnp.zeros_like(path_lo)
+    ep = jnp.asarray(epoch, dtype=jnp.uint32)
+    ones = jnp.full(path_idx.shape, 1.0, jnp.float32)
+    n_blocks = (N + 1) // 2
+
+    def body(j, carry):
+        S_p, v_p, S_m, v_m = carry
+        return fe_antithetic_pair_body(
+            j, S_p, v_p, S_m, v_m, path_lo, path_hi, ep, k0, k1,
+            r, k, theta, sigma, rho, sqrt_rho_c, dt, sqrt_dt, N)
+
+    S_p, _, S_m, _ = lax.fori_loop(
+        0, n_blocks, body, (ones * S_0, ones * v_0, ones * S_0, ones * v_0))
+    K = params_vec[1]
+    y = np.float32(0.5) * (jnp.maximum(S_p - K, 0.0)
+                           + jnp.maximum(S_m - K, 0.0))
+    n = jnp.float32(y.size)
+    return jnp.sum(y) / n, jnp.sum(y * y) / n

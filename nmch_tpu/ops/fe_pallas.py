@@ -42,7 +42,7 @@ LANES = 128
 
 
 def _fe_kernel(pv_ref, sc_ref, sum_ref, sumsq_ref, *, N: int, rows: int,
-               rng: str = "philox"):
+               rng: str = "philox", antithetic: bool = False):
     """One grid program simulates a (rows, 128) tile of paths.
 
     pv_ref: SMEM f32[8]  — (T, S_0, v_0, r, k, rho, theta, sigma)
@@ -94,31 +94,55 @@ def _fe_kernel(pv_ref, sc_ref, sum_ref, sumsq_ref, *, N: int, rows: int,
 
     n_blocks = (N + 1) // 2
 
-    def body(j, carry):
-        S, v = carry
+    def draw(j):
         if rng == "philox":
             bits = philox4x32(jnp.full((), j, jnp.uint32), epoch,
                               path_lo, path_hi, k0, k1)
         else:
             bits = [pltpu.prng_random_bits((rows, LANES)).astype(jnp.uint32)
                     for _ in range(4)]
-        g0, g1, g2, g3 = normal4_from_bits(*bits)
-        S, v = fe_step(S, v, g0, g1, r, k, theta, sigma, rho, sqrt_rho_c,
-                       dt, sqrt_dt)
-        if N % 2 == 0:
-            S, v = fe_step(S, v, g2, g3, r, k, theta, sigma, rho,
-                           sqrt_rho_c, dt, sqrt_dt)
-        else:
-            do = (2 * j + 1) < N
-            S2, v2 = fe_step(S, v, g2, g3, r, k, theta, sigma, rho,
-                             sqrt_rho_c, dt, sqrt_dt)
-            S = jnp.where(do, S2, S)
-            v = jnp.where(do, v2, v)
-        return S, v
+        return normal4_from_bits(*bits)
 
-    S, _ = lax.fori_loop(0, n_blocks, body, (S0, v0))
+    def steps(j, pairs, sign):
+        """Two Euler steps for one state copy; sign = +/-1 antithetic."""
+        g0, g1, g2, g3 = pairs
 
-    payoff = jnp.maximum(S - S_0, 0.0)  # ATM strike K = S_0
+        def one(S, v, a, b):
+            return fe_step(S, v, sign * a, sign * b, r, k, theta, sigma,
+                           rho, sqrt_rho_c, dt, sqrt_dt)
+
+        def two(S, v):
+            S, v = one(S, v, g0, g1)
+            if N % 2 == 0:
+                S, v = one(S, v, g2, g3)
+            else:
+                do = (2 * j + 1) < N
+                S2, v2 = one(S, v, g2, g3)
+                S = jnp.where(do, S2, S)
+                v = jnp.where(do, v2, v)
+            return S, v
+        return two
+
+    if antithetic:
+        def body(j, carry):
+            S_p, v_p, S_m, v_m = carry
+            pairs = draw(j)
+            S_p, v_p = steps(j, pairs, np.float32(1.0))(S_p, v_p)
+            S_m, v_m = steps(j, pairs, np.float32(-1.0))(S_m, v_m)
+            return S_p, v_p, S_m, v_m
+
+        S_p, _, S_m, _ = lax.fori_loop(0, n_blocks, body,
+                                       (S0, v0, S0, v0))
+        payoff = np.float32(0.5) * (jnp.maximum(S_p - S_0, 0.0)
+                                    + jnp.maximum(S_m - S_0, 0.0))
+    else:
+        def body(j, carry):
+            S, v = carry
+            return steps(j, draw(j), np.float32(1.0))(S, v)
+
+        S, _ = lax.fori_loop(0, n_blocks, body, (S0, v0))
+        payoff = jnp.maximum(S - S_0, 0.0)  # ATM strike K = S_0
+
     tile_sum = jnp.sum(payoff)
     tile_sumsq = jnp.sum(payoff * payoff)
 
@@ -147,10 +171,12 @@ def _pick_tile_rows(total_rows: int, target: int = 512) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("N", "n_paths", "tile_rows",
-                                             "rng", "interpret"))
+                                             "rng", "antithetic",
+                                             "interpret"))
 def fe_moments_pallas(params_vec, seed_words, epoch, base_path, *,
                       N: int, n_paths: int, tile_rows: int | None = None,
-                      rng: str = "philox", interpret: bool = False):
+                      rng: str = "philox", antithetic: bool = False,
+                      interpret: bool = False):
     """(E[X], E[X^2]) over n_paths FE paths via the fused kernel.
 
     seed_words: uint32[2]; epoch/base_path: uint32 scalars (traced).
@@ -177,7 +203,8 @@ def fe_moments_pallas(params_vec, seed_words, epoch, base_path, *,
         raise ValueError(f"unknown rng {rng!r} (expected 'philox' or 'tpu')")
     if rng == "tpu" and interpret:
         raise ValueError("rng='tpu' requires real TPU hardware")
-    kern = functools.partial(_fe_kernel, N=N, rows=rows, rng=rng)
+    kern = functools.partial(_fe_kernel, N=N, rows=rows, rng=rng,
+                             antithetic=antithetic)
     s, s2 = pl.pallas_call(
         kern,
         grid=(grid,),

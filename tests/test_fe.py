@@ -113,3 +113,46 @@ def test_r_nonzero_drift():
     S_T, _ = fe_terminal(params.as_array(), 250, path_index_grid(65536),
                          jnp.uint32(0), k0, k1)
     assert float(jnp.mean(S_T)) == pytest.approx(np.exp(0.1), abs=5e-3)
+
+
+def test_antithetic_reduces_variance():
+    """Antithetic pairs must cut the CI vs plain MC at equal sample
+    count (payoff is monotone in the driving noise, so the pair
+    covariance is negative)."""
+    from nmch_tpu.ops.fe import fe_moments_antithetic_scan
+    n_paths, N = 16384, 100
+    k0, k1 = split_seed(1234)
+    pidx = path_index_grid(n_paths)
+    m_p, m2_p = jax.jit(fe_moments_scan, static_argnums=1)(
+        P.as_array(), N, pidx, jnp.uint32(0), k0, k1)
+    m_a, m2_a = jax.jit(fe_moments_antithetic_scan, static_argnums=1)(
+        P.as_array(), N, pidx, jnp.uint32(0), k0, k1)
+    plain = SimResult(float(m_p), float(m2_p), n_paths)
+    anti = SimResult(float(m_a), float(m2_a), n_paths)
+    assert anti.ci_error < 0.75 * plain.ci_error
+    # both price near the oracle
+    from nmch_tpu.oracle import heston_call_undiscounted
+    oracle = heston_call_undiscounted(P)
+    assert abs(anti.price - oracle) < 3 * anti.ci_error + 2e-3
+
+
+def test_antithetic_pallas_matches_scan():
+    from nmch_tpu.ops.fe import fe_moments_antithetic_scan
+    n_paths, N = 1024, 32
+    k0, k1 = split_seed(7)
+    m_s, _ = jax.jit(fe_moments_antithetic_scan, static_argnums=1)(
+        P.as_array(), N, path_index_grid(n_paths), jnp.uint32(0), k0, k1)
+    sw = jnp.stack([jnp.uint32(k0), jnp.uint32(k1)])
+    m_p, _ = fe_moments_pallas(P.as_array(), sw, jnp.uint32(0),
+                               jnp.uint32(0), N=N, n_paths=n_paths,
+                               antithetic=True, interpret=True)
+    assert float(m_p) == pytest.approx(float(m_s), rel=1e-6)
+
+
+def test_antithetic_method_api():
+    from nmch_tpu import NMCH_FE, SimConfig
+    m = NMCH_FE(SimConfig(NTPB=512, NB=4, N=50), P, engine="scan",
+                antithetic=True)
+    m.init(1)
+    res = m.compute()
+    assert 0.08 < res.price < 0.16
