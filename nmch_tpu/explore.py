@@ -72,6 +72,61 @@ def sweep(method_obj, name: str, out=sys.stdout):
                       file=out, flush=True)
 
 
+def grid_points():
+    """The reference's feasible (k, theta, sigma) grid, in its loop
+    order (sigma outer, theta, k inner — exploration.cu:71-81)."""
+    pts = []
+    for sigma in _grid(SIGMA_MIN, SIGMA_MAX):
+        for theta in _grid(THETA_MIN, THETA_MAX):
+            for k in _grid(K_MIN, K_MAX):
+                if feasible(k, theta, sigma):
+                    pts.append((k, theta, sigma))
+    return pts
+
+
+def sweep_batched(cfg: SimConfig, seed: int, out=sys.stdout,
+                  engine: str = "pallas"):
+    """FE sweep as ONE kernel launch over the whole parameter grid
+    (SURVEY.md §7.8 'vmapped grid') — same CSV, amortized per-point
+    time.  Each point prices at its own stream epoch."""
+    import time
+    import jax
+    import jax.numpy as jnp
+    from .ops.sweep_pallas import fe_sweep_pallas, fe_sweep_scan
+    from .rng.philox import split_seed
+    from .results import SimResult
+
+    pts = grid_points()
+    base = HestonParams()
+    pm = jnp.asarray([[base.T, base.S_0, base.v_0, base.r, k, base.rho,
+                       theta, sigma] for (k, theta, sigma) in pts],
+                     jnp.float32)
+
+    def run_all():
+        if engine == "pallas":
+            k0, k1 = split_seed(seed)
+            sw = jnp.stack([jnp.uint32(k0), jnp.uint32(k1)])
+            interp = jax.default_backend() not in ("tpu", "axon")
+            return fe_sweep_pallas(pm, sw, jnp.uint32(0), N=cfg.N,
+                                   n_paths=cfg.n_paths, n_points=len(pts),
+                                   interpret=interp)
+        return fe_sweep_scan(pm, seed, 0, N=cfg.N, n_paths=cfg.n_paths)
+
+    import numpy as np
+    ms, m2s = run_all()                 # compile + warm-up
+    np.asarray(ms)
+    t0 = time.perf_counter()
+    ms, m2s = run_all()
+    ms_host = np.asarray(ms)            # one device->host transfer
+    m2_host = np.asarray(m2s)
+    per_point_ms = (time.perf_counter() - t0) * 1e3 / len(pts)
+
+    for (k, theta, sigma), m, m2 in zip(pts, ms_host, m2_host):
+        err = SimResult(m, m2, cfg.n_paths).err
+        print(f"fe, {k:f}, {theta:f}, {sigma:f}, {per_point_ms:f}, {err:f}",
+              file=out, flush=True)
+
+
 def run(argv=None) -> int:
     p = argparse.ArgumentParser(
         prog="exploration",
@@ -83,6 +138,9 @@ def run(argv=None) -> int:
     p.add_argument("--engine", choices=["pallas", "scan"], default="pallas")
     p.add_argument("--methods", default="fe,em",
                    help="comma-separated subset of fe,em")
+    p.add_argument("--batched", action="store_true",
+                   help="price the whole FE grid in ONE kernel launch "
+                        "(TPU-native; EM still sweeps point-by-point)")
     p.add_argument("--out", default=None, help="write CSV here (default "
                    "stdout, like the reference)")
     args = p.parse_args(argv)
@@ -95,6 +153,9 @@ def run(argv=None) -> int:
               flush=True)
         methods = [m.strip() for m in args.methods.split(",") if m.strip()]
         for name in methods:
+            if name == "fe" and args.batched:
+                sweep_batched(cfg, args.seed, out, engine=args.engine)
+                continue
             cls = NMCH_FE if name == "fe" else NMCH_EM
             m = cls(cfg, params, engine=args.engine)
             m.init(args.seed)

@@ -87,3 +87,42 @@ def test_heatmap_from_sweep(tmp_path):
     assert len(paths) >= 2
     import os
     assert all(os.path.getsize(p) > 1000 for p in paths)
+
+
+def test_batched_sweep_matches_loop_grid():
+    """fe_sweep_pallas (one launch) must agree with the golden vmap
+    sweep point-by-point (identical streams per point)."""
+    import jax.numpy as jnp
+    from nmch_tpu.ops.sweep_pallas import fe_sweep_pallas, fe_sweep_scan
+    from nmch_tpu.rng.philox import split_seed
+    from nmch_tpu.explore import grid_points
+
+    pts = grid_points()[:5]
+    base = HestonParams()
+    pm = jnp.asarray([[base.T, base.S_0, base.v_0, base.r, k, base.rho,
+                       theta, sigma] for (k, theta, sigma) in pts],
+                     jnp.float32)
+    n_paths, N = 1024, 16
+    ms_g, m2_g = fe_sweep_scan(pm, 1234, 0, N=N, n_paths=n_paths)
+    k0, k1 = split_seed(1234)
+    sw = jnp.stack([jnp.uint32(k0), jnp.uint32(k1)])
+    ms_p, m2_p = fe_sweep_pallas(pm, sw, jnp.uint32(0), N=N,
+                                 n_paths=n_paths, n_points=len(pts),
+                                 interpret=True)
+    import numpy as np
+    np.testing.assert_allclose(np.asarray(ms_p), np.asarray(ms_g),
+                               rtol=2e-6)
+    np.testing.assert_allclose(np.asarray(m2_p), np.asarray(m2_g),
+                               rtol=2e-6)
+
+
+def test_explore_batched_csv(tmp_path):
+    out = tmp_path / "sweep.csv"
+    rc = explore_run(["--NB", "1", "--N", "6", "--engine", "scan",
+                      "--methods", "fe", "--batched", "--out", str(out)])
+    assert rc == 0
+    lines = out.read_text().splitlines()
+    assert len(lines) > 50
+    for line in lines[1:]:
+        parts = [p.strip() for p in line.split(",")]
+        assert parts[0] == "fe" and len(parts) == 6
