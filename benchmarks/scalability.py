@@ -24,6 +24,8 @@ def main(argv=None) -> int:
     p.add_argument("--outdir", default="benchmarks/out")
     p.add_argument("--N", type=int, default=1000)
     p.add_argument("--engine", default=None, choices=[None, "pallas", "scan"])
+    p.add_argument("--methods", default="fe,em")
+    p.add_argument("--max-log2", type=int, default=18)
     args = p.parse_args(argv)
     os.makedirs(args.outdir, exist_ok=True)
 
@@ -36,9 +38,12 @@ def main(argv=None) -> int:
     params = HestonParams()
     oracle = heston_call_undiscounted(params)
 
-    path_counts = [1 << k for k in range(12, 19)]      # 4096 .. 262144
+    path_counts = [1 << k for k in range(12, args.max_log2 + 1)]
     rows = []
+    sel = [m.strip() for m in args.methods.split(",") if m.strip()]
     for method, cls in (("fe", NMCH_FE), ("em", NMCH_EM)):
+        if method not in sel:
+            continue
         for n_paths in path_counts:
             cfg = SimConfig.from_n_paths(n_paths, N=args.N)
             m = cls(cfg, params, engine=engine)
@@ -64,6 +69,8 @@ def main(argv=None) -> int:
     fig, ax = plt.subplots(figsize=(7, 5))
     for method, marker in (("fe", "o"), ("em", "s")):
         sel = [r for r in rows if r[0] == method]
+        if not sel:
+            continue
         ns = np.array([r[1] for r in sel], float)
         errs = np.array([r[3] for r in sel], float)
         ax.loglog(ns, errs, marker + "-", label=f"{method} 95% CI err")

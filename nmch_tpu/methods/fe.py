@@ -57,6 +57,11 @@ class NMCH_FE(NMCH):
         super().__init__(cfg, params)
         if engine not in ("pallas", "scan"):
             raise ValueError(f"unknown engine {engine!r}")
+        if rng not in ("philox", "tpu"):
+            raise ValueError(f"unknown rng {rng!r}")
+        if rng == "tpu" and engine != "pallas":
+            raise ValueError("rng='tpu' requires engine='pallas' (the "
+                             "golden scan engine is philox-only)")
         self.engine = engine
         self.rng = rng
         self.antithetic = antithetic

@@ -29,6 +29,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..ops.fe import fe_moments_scan, path_index_grid
 from ..ops.fe_pallas import fe_moments_pallas
 from ..ops.em import em_moments_scan
+from ..ops.em_pallas import em_moments_pallas
 
 PATH_AXIS = "paths"
 
@@ -62,19 +63,17 @@ def sharded_moments(mesh: Mesh, params_vec, seed: int, epoch, *,
     seed_words = jnp.stack([jnp.uint32(k0), jnp.uint32(k1)])
 
     def shard_fn(pv, sw, ep):
-        # promote replicated inputs to 'varying' over the path axis so
-        # loop carries derived from them type-check under shard_map's
-        # varying-manual-axes analysis (each chip's values genuinely
-        # vary: stream bases depend on axis_index)
-        pv = jax.lax.pcast(pv, (PATH_AXIS,), to="varying")
-        sw = jax.lax.pcast(sw, (PATH_AXIS,), to="varying")
-        ep = jax.lax.pcast(ep, (PATH_AXIS,), to="varying")
         idx = jax.lax.axis_index(PATH_AXIS)
         base = (idx.astype(jnp.uint32) * jnp.uint32(per_chip))
-        if engine == "pallas" and method == "fe":
-            m, m2 = fe_moments_pallas(pv, sw, ep, base, N=N,
-                                      n_paths=per_chip, rng=rng,
-                                      interpret=interpret)
+        if engine == "pallas":
+            if method == "fe":
+                m, m2 = fe_moments_pallas(pv, sw, ep, base, N=N,
+                                          n_paths=per_chip, rng=rng,
+                                          interpret=interpret)
+            else:
+                m, m2 = em_moments_pallas(pv, sw, ep, base, N=N,
+                                          n_paths=per_chip,
+                                          interpret=interpret)
         else:
             pidx = path_index_grid(per_chip) + base
             fn = fe_moments_scan if method == "fe" else em_moments_scan
@@ -84,9 +83,13 @@ def sharded_moments(mesh: Mesh, params_vec, seed: int, epoch, *,
         return (jax.lax.psum(m, PATH_AXIS) / nd,
                 jax.lax.psum(m2, PATH_AXIS) / nd)
 
+    # check_vma=False: pallas_call outputs carry no varying-manual-axes
+    # metadata (jax 0.9), so the vma type-checker cannot see through the
+    # kernels; correctness is covered by the sharded-vs-single tests.
     fn = jax.jit(jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(), P(), P()),
         out_specs=(P(), P()),
+        check_vma=False,
     ))
     return fn(params_vec, seed_words, jnp.uint32(epoch))

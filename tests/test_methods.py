@@ -68,3 +68,8 @@ def test_pallas_engine_interpret_lifecycle():
     m.init(1234)
     res = m.compute()
     assert 0.02 < res.price < 0.3
+
+
+def test_scan_engine_rejects_tpu_rng():
+    with pytest.raises(ValueError):
+        NMCH_FE(CFG, HestonParams(), engine="scan", rng="tpu")

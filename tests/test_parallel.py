@@ -60,3 +60,13 @@ def test_two_device_mesh(mesh8):
                              engine="scan")
     m1, _ = _single("fe", 8192, 20)
     assert float(m2_) == pytest.approx(m1, rel=2e-6)
+
+
+def test_sharded_em_pallas_interpret(mesh8):
+    """EM + engine='pallas' must actually use the EM kernel (was
+    silently downgraded to scan once)."""
+    m8, _ = sharded_moments(mesh8, P.as_array(), seed=1234, epoch=0,
+                            N=8, n_paths=2048, method="em",
+                            engine="pallas", interpret=True)
+    m1, _ = _single("em", 2048, 8)
+    assert float(m8) == pytest.approx(m1, rel=2e-6)
