@@ -6,10 +6,11 @@ the reference's *actual* defaults (NTPB=512, NB=512, N=1000, seed=1234
 — nmch.cu:52-64; the reference's --help text claims NTPB=1024/N=50,
 a documented bug we fix rather than copy, SURVEY.md §5 "config").
 
-TPU-native extras: --engine pallas|scan, --rng philox|tpu, --devices
-all|1 (shard paths over every chip on the host via parallel/mesh.py),
-and --oracle to print the real semi-analytic Heston price next to the
-reference's Black–Scholes-with-vol-of-vol "true price".
+TPU-native extras: --engine pallas|scan, --rng philox|tpu,
+--antithetic (variance reduction), --json (machine output), and
+--oracle to print the real semi-analytic Heston price next to the
+reference's Black–Scholes-with-vol-of-vol "true price".  Multi-chip
+pricing goes through nmch_tpu.parallel (see examples/multichip.py).
 
 Run: ``python -m nmch_tpu.cli --method fe`` (or the ``nmch`` wrapper).
 """
