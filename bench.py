@@ -53,12 +53,13 @@ def main() -> None:
 
     t0 = time.perf_counter()
     outs = [run(1 + i) for i in range(REPS)]
-    # materialize everything (block_until_ready under-waits on axon)
-    vals = [(float(a), float(b)) for a, b in outs]
+    # materialize everything in ONE device fetch (block_until_ready
+    # under-waits on axon; per-value float() costs an RPC each)
+    vals = jax.device_get(outs)
     dt = (time.perf_counter() - t0) / REPS
     throughput = N_PATHS * N_STEPS / dt
 
-    price = vals[-1][0]
+    price = float(vals[-1][0])
     print(json.dumps({
         "metric": "fe_path_steps_per_sec",
         "value": round(throughput, 1),

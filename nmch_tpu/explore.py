@@ -56,20 +56,16 @@ def feasible(k: float, theta: float, sigma: float) -> bool:
 
 
 def sweep(method_obj, name: str, out=sys.stdout):
-    """Warm up, then sweep sigma x theta x kappa with stream reuse."""
+    """Warm up, then sweep the feasible grid with stream reuse."""
     method_obj.compute()  # warm-up, discarded (exploration.cu:65-67)
-    for sigma in _grid(SIGMA_MIN, SIGMA_MAX):
-        for theta in _grid(THETA_MIN, THETA_MAX):
-            for k in _grid(K_MIN, K_MAX):
-                if not feasible(k, theta, sigma):
-                    continue
-                method_obj.set_theta(theta)
-                method_obj.set_sigma(sigma)
-                method_obj.set_k(k)
-                res = method_obj.compute()
-                print(f"{name}, {k:f}, {theta:f}, {sigma:f}, "
-                      f"{res.exec_time_ms:f}, {res.err:f}",
-                      file=out, flush=True)
+    for k, theta, sigma in grid_points():
+        method_obj.set_theta(theta)
+        method_obj.set_sigma(sigma)
+        method_obj.set_k(k)
+        res = method_obj.compute()
+        print(f"{name}, {k:f}, {theta:f}, {sigma:f}, "
+              f"{res.exec_time_ms:f}, {res.err:f}",
+              file=out, flush=True)
 
 
 def grid_points():
@@ -152,6 +148,9 @@ def run(argv=None) -> int:
         print("method, k, theta, sigma, execution_time, err", file=out,
               flush=True)
         methods = [m.strip() for m in args.methods.split(",") if m.strip()]
+        unknown = [m for m in methods if m not in ("fe", "em")]
+        if unknown:
+            p.error(f"unknown method(s) {unknown}; valid: fe, em")
         for name in methods:
             if name == "fe" and args.batched:
                 sweep_batched(cfg, args.seed, out, engine=args.engine)

@@ -38,10 +38,16 @@ class NMCH(abc.ABC):
     def __init__(self, cfg: SimConfig, params: HestonParams):
         self.cfg = cfg
         self.params = params
-        self.K = params.S_0          # ATM strike (NMCH.cu:7)
         self.streams: PathStreams | None = None
         self.result: SimResult | None = None
         self.init_time_ms = float("nan")
+
+    @property
+    def K(self) -> float:
+        """ATM strike, always the *current* params' S_0 (NMCH.cu:7) —
+        a property so load_state()/replaced params can't leave a stale
+        copy behind."""
+        return self.params.K
 
     # -- lifecycle -------------------------------------------------------
     @abc.abstractmethod

@@ -67,8 +67,9 @@ class NMCH_EM(NMCH):
         epoch = self.streams.next_epoch()
         with Timer() as t:
             m, m2 = self._moments(epoch)
-            m = float(m)
-            m2 = float(m2)
+            # one batched device fetch (a float() per value costs a
+            # full RPC round-trip each on tunneled TPUs)
+            m, m2 = (float(x) for x in jax.device_get((m, m2)))
         self.result = SimResult(price=m, price_squared=m2,
                                 n_paths=self.cfg.n_paths,
                                 exec_time_ms=t.ms,

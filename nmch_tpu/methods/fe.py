@@ -75,8 +75,10 @@ class NMCH_FE(NMCH):
     def init(self, seed: int | None = None) -> None:
         """Create the persistent per-path streams (reference init(seed):
         alloc + curand_init grid, NMCH_FE.cu:368-386). Counter-based RNG
-        needs no state arrays, so this is O(1); we warm up the compile
-        cache instead (the analogue of the reference's one-off init cost).
+        needs no state arrays, so this is O(1). The one-off compile cost
+        lands in the FIRST compute() call instead — discard it like the
+        reference's warm-up (exploration.cu:65-67); the CLI does this
+        automatically unless --no-warmup.
         """
         seed = self.cfg.seed if seed is None else seed
         with Timer() as t:
@@ -105,8 +107,9 @@ class NMCH_FE(NMCH):
         epoch = self.streams.next_epoch()
         with Timer() as t:
             m, m2 = self._moments(epoch)
-            m = float(m)          # forces device sync (honest timing)
-            m2 = float(m2)
+            # one batched device fetch (a float() per value costs a
+            # full RPC round-trip each on tunneled TPUs)
+            m, m2 = (float(x) for x in jax.device_get((m, m2)))
         self.result = SimResult(price=m, price_squared=m2,
                                 n_paths=self.cfg.n_paths,
                                 exec_time_ms=t.ms,

@@ -27,6 +27,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .em import em_terminal_core
+from .fe_pallas import _pick_tile_rows
 
 LANES = 128
 
@@ -64,19 +65,6 @@ def _em_kernel(pv_ref, sc_ref, sum_ref, sumsq_ref, *, N: int, rows: int):
     sumsq_ref[0, 0] += tile_sumsq
 
 
-def _pick_tile_rows(total_rows: int, target: int = 256) -> int:
-    """Largest divisor of total_rows <= target.  EM keeps more live
-    state per lane than FE (sampler carries), so default tiles are
-    half the FE size."""
-    best = 1
-    d = 1
-    while d * d <= total_rows:
-        if total_rows % d == 0:
-            for c in (d, total_rows // d):
-                if c <= target and c > best:
-                    best = c
-        d += 1
-    return best
 
 
 @functools.partial(jax.jit, static_argnames=("N", "n_paths", "tile_rows",
@@ -88,7 +76,9 @@ def em_moments_pallas(params_vec, seed_words, epoch, base_path, *,
     if n_paths % LANES:
         raise ValueError(f"n_paths={n_paths} must be a multiple of {LANES}")
     total_rows = n_paths // LANES
-    rows = tile_rows or _pick_tile_rows(total_rows)
+    # EM keeps more live state per lane than FE (sampler carries), so
+    # default tiles are half the FE size
+    rows = tile_rows or _pick_tile_rows(total_rows, target=256)
     if total_rows % rows:
         raise ValueError(f"tile_rows={rows} must divide {total_rows}")
     grid = total_rows // rows

@@ -38,12 +38,10 @@ def trace(logdir: str):
 
 def _time_queued(fn, reps: int) -> float:
     """Mean ms/run over ``reps`` queued dispatches (RPC amortized)."""
-    a, b = fn(0)
-    float(a), float(b)          # compile + warm-up, discarded
+    jax.device_get(fn(0))       # compile + warm-up, discarded
     t0 = time.perf_counter()
     outs = [fn(i + 1) for i in range(reps)]
-    for a, b in outs:
-        float(a), float(b)
+    jax.device_get(outs)       # one fetch; per-value float() = RPC each
     return (time.perf_counter() - t0) / reps * 1e3
 
 
