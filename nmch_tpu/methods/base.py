@@ -122,21 +122,23 @@ class NMCH(abc.ABC):
 
     # -- output -----------------------------------------------------------
     def print_stats(self) -> None:
-        """Stats block with the same content as the reference
-        (NMCH.cu:13-28 base part + NMCH_FE.cu:333-350 method part)."""
+        """Stats block in the reference's exact format: base-parameter
+        dump (NMCH.cu:13-28 — note it prints "S_0,K" and dt but not rho)
+        followed by the method part (NMCH_FE.cu:333-350 /
+        NMCH_EM.cu:398-414)."""
         p, cfg = self.params, self.cfg
-        print("=====================================")
-        print(f"NTPB: {cfg.NTPB}")
-        print(f"NB: {cfg.NB}")
-        print(f"T: {p.T}")
-        print(f"S_0: {p.S_0}")
-        print(f"v_0: {p.v_0}")
-        print(f"r: {p.r}")
-        print(f"k: {p.k}")
-        print(f"rho: {p.rho}")
-        print(f"theta: {p.theta}")
-        print(f"sigma: {p.sigma}")
-        print(f"N: {cfg.N}")
+        print("Base parameters:")
+        print(f"NTPB    = {cfg.NTPB}")
+        print(f"NB      = {cfg.NB}")
+        print(f"T       = {p.T:f}")
+        print(f"S_0,K   = {p.S_0:f}")
+        print(f"v_0     = {p.v_0:f}")
+        print(f"r       = {p.r:f}")
+        print(f"k       = {p.k:f}")
+        print(f"theta   = {p.theta:f}")
+        print(f"sigma   = {p.sigma:f}")
+        print(f"N       = {cfg.N}")
+        print(f"dt      = {cfg.dt(p.T):f}")
         print(f"METHOD: {self.method_name}")
         r = self.result
         print(f"The estimated price E[X] is equal to {r.price:f}")

@@ -24,7 +24,7 @@ from .base import NMCH
 class NMCH_EM(NMCH):
     """Exact-scheme pricer with the reference's 5-step lifecycle."""
 
-    method_name = "EXACT METHOD"
+    method_name = "EXACT-METHOD"  # NMCH_EM.cu:405
 
     def __init__(self, cfg: SimConfig, params: HestonParams,
                  engine: str = "pallas", rng: str = "philox",

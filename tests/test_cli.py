@@ -26,7 +26,7 @@ def test_cli_em_scan(capsys):
     rc = cli_run(["--method", "em", "--engine", "scan", "--NB", "4",
                   "--N", "20"])
     assert rc == 0
-    assert "METHOD: EXACT METHOD" in capsys.readouterr().out
+    assert "METHOD: EXACT-METHOD" in capsys.readouterr().out
 
 
 def test_cli_defaults_match_reference():

@@ -73,3 +73,34 @@ def test_pallas_engine_interpret_lifecycle():
 def test_scan_engine_rejects_tpu_rng():
     with pytest.raises(ValueError):
         NMCH_FE(CFG, HestonParams(), engine="scan", rng="tpu")
+
+
+def test_print_stats_reference_format(capsys):
+    """Field-for-field parity with the reference's stats block
+    (NMCH.cu:16-27 base dump + NMCH_FE.cu:341-349 method part)."""
+    m = NMCH_FE(SimConfig(NTPB=512, NB=2, N=100), HestonParams(),
+                engine="scan")
+    m.init(1)
+    m.compute()
+    m.print_stats()
+    lines = capsys.readouterr().out.splitlines()
+    assert lines[0] == "Base parameters:"
+    assert lines[1] == "NTPB    = 512"
+    assert lines[2] == "NB      = 2"
+    assert lines[3] == "T       = 1.000000"
+    assert lines[4] == "S_0,K   = 1.000000"
+    assert lines[5] == "v_0     = 0.100000"
+    assert lines[6] == "r       = 0.000000"
+    assert lines[7] == "k       = 0.500000"
+    assert lines[8] == "theta   = 0.100000"
+    assert lines[9] == "sigma   = 0.300000"
+    assert lines[10] == "N       = 100"
+    assert lines[11] == "dt      = 0.010000"
+    assert lines[12] == "METHOD: FORWARD-EULER"
+    assert lines[13].startswith("The estimated price E[X] is equal to ")
+    assert lines[14].startswith("The estimated E[X^2] is equal to ")
+    assert lines[15].startswith("The true price ")
+    assert lines[16].startswith(
+        "error associated to a confidence interval of 95% = ")
+    assert lines[17].startswith("Execution time ")
+    assert lines[18].startswith("Initialization time ")
