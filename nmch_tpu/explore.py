@@ -81,14 +81,16 @@ def grid_points():
 
 
 def sweep_batched(cfg: SimConfig, seed: int, out=sys.stdout,
-                  engine: str = "pallas"):
-    """FE sweep as ONE kernel launch over the whole parameter grid
+                  engine: str = "pallas", method: str = "fe"):
+    """FE/EM sweep as ONE kernel launch over the whole parameter grid
     (SURVEY.md §7.8 'vmapped grid') — same CSV, amortized per-point
     time.  Each point prices at its own stream epoch."""
     import time
     import jax
     import jax.numpy as jnp
-    from .ops.sweep_pallas import fe_sweep_pallas, fe_sweep_scan
+    from .ops.sweep_pallas import (
+        fe_sweep_pallas, fe_sweep_scan, em_sweep_pallas, em_sweep_scan,
+    )
     from .rng.philox import split_seed
     from .results import SimResult
 
@@ -103,10 +105,12 @@ def sweep_batched(cfg: SimConfig, seed: int, out=sys.stdout,
             k0, k1 = split_seed(seed)
             sw = jnp.stack([jnp.uint32(k0), jnp.uint32(k1)])
             interp = jax.default_backend() not in ("tpu", "axon")
-            return fe_sweep_pallas(pm, sw, jnp.uint32(0), N=cfg.N,
-                                   n_paths=cfg.n_paths, n_points=len(pts),
-                                   interpret=interp)
-        return fe_sweep_scan(pm, seed, 0, N=cfg.N, n_paths=cfg.n_paths)
+            fn = fe_sweep_pallas if method == "fe" else em_sweep_pallas
+            return fn(pm, sw, jnp.uint32(0), N=cfg.N,
+                      n_paths=cfg.n_paths, n_points=len(pts),
+                      interpret=interp)
+        fn = fe_sweep_scan if method == "fe" else em_sweep_scan
+        return fn(pm, seed, 0, N=cfg.N, n_paths=cfg.n_paths)
 
     import numpy as np
     ms, m2s = run_all()                 # compile + warm-up
@@ -119,8 +123,8 @@ def sweep_batched(cfg: SimConfig, seed: int, out=sys.stdout,
 
     for (k, theta, sigma), m, m2 in zip(pts, ms_host, m2_host):
         err = SimResult(m, m2, cfg.n_paths).err
-        print(f"fe, {k:f}, {theta:f}, {sigma:f}, {per_point_ms:f}, {err:f}",
-              file=out, flush=True)
+        print(f"{method}, {k:f}, {theta:f}, {sigma:f}, {per_point_ms:f}, "
+              f"{err:f}", file=out, flush=True)
 
 
 def run(argv=None) -> int:
@@ -135,8 +139,8 @@ def run(argv=None) -> int:
     p.add_argument("--methods", default="fe,em",
                    help="comma-separated subset of fe,em")
     p.add_argument("--batched", action="store_true",
-                   help="price the whole FE grid in ONE kernel launch "
-                        "(TPU-native; EM still sweeps point-by-point)")
+                   help="price the whole grid in ONE kernel launch per "
+                        "method (TPU-native vmapped grid)")
     p.add_argument("--out", default=None, help="write CSV here (default "
                    "stdout, like the reference)")
     args = p.parse_args(argv)
@@ -152,8 +156,9 @@ def run(argv=None) -> int:
         if unknown:
             p.error(f"unknown method(s) {unknown}; valid: fe, em")
         for name in methods:
-            if name == "fe" and args.batched:
-                sweep_batched(cfg, args.seed, out, engine=args.engine)
+            if args.batched:
+                sweep_batched(cfg, args.seed, out, engine=args.engine,
+                              method=name)
                 continue
             cls = NMCH_FE if name == "fe" else NMCH_EM
             m = cls(cfg, params, engine=args.engine)

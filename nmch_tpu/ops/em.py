@@ -46,7 +46,10 @@ from .fe import path_index_grid  # re-exported layout helper
 def em_terminal_core(params_vec, N: int, path_lo, path_hi, epoch, k0, k1):
     """Simulate the exact scheme; returns (S_T, v_T, vI, final_ctr).
 
-    Shared verbatim by the golden engine and the Pallas kernel.
+    Shared verbatim by the golden engine and the Pallas kernels.
+    params_vec may be a flat f32[8] (scalar parameters) or a sequence of
+    eight arrays broadcastable against the path layout — the batched
+    parameter-grid kernel passes (1, 128) per-lane columns.
     """
     T, S_0, v_0, r, k, rho, theta, sigma = (params_vec[i] for i in range(8))
     dt = T / jnp.float32(N)
@@ -65,6 +68,10 @@ def em_terminal_core(params_vec, N: int, path_lo, path_hi, epoch, k0, k1):
     vI0 = fznr
     ctr0 = znr
     d_arr = fznr + d
+    # broadcast loop constants over the path layout so fori carries and
+    # sampler shapes stay uniform when params are (1, 128) columns
+    lam_const = fznr + lam_const
+    vfac = fznr + vfac
 
     def step(i, carry):
         Vt, vI, ctr = carry

@@ -202,3 +202,117 @@ def fe_sweep_scan(params_matrix, seed: int, epoch0: int, *, N: int,
     eps = jnp.uint32(epoch0) + jnp.arange(params_matrix.shape[0],
                                           dtype=jnp.uint32)
     return jax.vmap(one)(params_matrix.astype(jnp.float32), eps)
+
+
+def _em_sweep_kernel(pv_ref, sc_ref, sum_ref, sumsq_ref, *, N: int,
+                     rows: int):
+    """EM analogue of _fe_sweep_kernel: points in lanes, paths in rows.
+
+    Reuses em_terminal_core with (1, 128) per-lane parameter columns and
+    per-lane stream epochs.
+    """
+    pt = pl.program_id(0)
+    it = pl.program_id(1)
+
+    pv = pv_ref[...]                       # (8, 128)
+    params = tuple(pv[j:j + 1, :] for j in range(8))
+
+    k0 = sc_ref[0]
+    k1 = sc_ref[1]
+    lane = lax.broadcasted_iota(jnp.uint32, (1, LANES), 1)
+    epoch = sc_ref[2] + pt.astype(jnp.uint32) * np.uint32(LANES) + lane
+    # full-2D anchor: the sampler while-loop carries inherit their
+    # Mosaic register layout from path_lo; a (rows,1)-derived broadcast
+    # is lane-REPLICATED and the lane-varying updates can't relayout
+    # back into it (see ops/sampling.py docstring). The 2-D iota sum is
+    # zero after >>31 but carries the full per-lane layout.
+    rr = lax.broadcasted_iota(jnp.uint32, (rows, LANES), 0)
+    cc = lax.broadcasted_iota(jnp.uint32, (rows, LANES), 1)
+    anchor = (rr * np.uint32(LANES) + cc) >> np.uint32(31)
+    row = lax.broadcasted_iota(jnp.uint32, (rows, 1), 0)
+    path_lo = row + it.astype(jnp.uint32) * np.uint32(rows) + anchor
+    path_hi = path_lo * np.uint32(0)
+
+    from .em import em_terminal_core
+    S_T, _, _, _ = em_terminal_core(params, N, path_lo, path_hi, epoch,
+                                    k0, k1)
+    payoff = jnp.maximum(S_T - params[1], 0.0)   # K = S_0
+
+    @pl.when(it == 0)
+    def _():
+        sum_ref[...] = jnp.zeros((8, LANES), jnp.float32)
+        sumsq_ref[...] = jnp.zeros((8, LANES), jnp.float32)
+
+    sum_ref[0:1, :] += jnp.sum(payoff, axis=0, keepdims=True)
+    sumsq_ref[0:1, :] += jnp.sum(payoff * payoff, axis=0, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=("N", "n_paths", "n_points",
+                                             "tile_rows", "interpret"))
+def em_sweep_pallas(params_matrix, seed_words, epoch0, *, N: int,
+                    n_paths: int, n_points: int,
+                    tile_rows: int | None = None, interpret: bool = False):
+    """(E[X], E[X^2]) per parameter point for the EM scheme, one launch."""
+    pt_tiles = -(-n_points // LANES)
+    n_pad = pt_tiles * LANES
+    pad = jnp.broadcast_to(params_matrix[-1:], (n_pad - n_points, 8))
+    pm = jnp.concatenate([params_matrix.astype(jnp.float32),
+                          pad.astype(jnp.float32)], axis=0)
+    pmT = pm.reshape(pt_tiles, LANES, 8).transpose(0, 2, 1)
+    pmT = pmT.reshape(pt_tiles * 8, LANES)
+
+    # EM carries much more live state (sampler rounds), smaller tiles
+    rows = tile_rows or min(n_paths, 128)
+    while n_paths % rows:
+        rows -= 1
+    path_tiles = n_paths // rows
+
+    sc = jnp.stack([
+        seed_words[0].astype(jnp.uint32),
+        seed_words[1].astype(jnp.uint32),
+        jnp.asarray(epoch0, jnp.uint32),
+        jnp.uint32(0),
+    ])
+
+    kern = functools.partial(_em_sweep_kernel, N=N, rows=rows)
+    s, s2 = pl.pallas_call(
+        kern,
+        grid=(pt_tiles, path_tiles),
+        in_specs=[
+            pl.BlockSpec((8, LANES), lambda pt, it: (pt, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((8, LANES), lambda pt, it: (pt, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, LANES), lambda pt, it: (pt, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((pt_tiles * 8, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((pt_tiles * 8, LANES), jnp.float32),
+        ),
+        interpret=interpret,
+    )(pmT, sc)
+
+    s = s.reshape(pt_tiles, 8, LANES)[:, 0, :].reshape(-1)[:n_points]
+    s2 = s2.reshape(pt_tiles, 8, LANES)[:, 0, :].reshape(-1)[:n_points]
+    n = jnp.float32(n_paths)
+    return s / n, s2 / n
+
+
+def em_sweep_scan(params_matrix, seed: int, epoch0: int, *, N: int,
+                  n_paths: int):
+    """Golden batched EM sweep (vmap over rows, epoch per row)."""
+    from ..rng.philox import split_seed
+    from .em import em_moments_scan
+    k0, k1 = split_seed(seed)
+    pidx = jnp.arange(n_paths, dtype=jnp.uint32).reshape(n_paths, 1)
+
+    def one(pv, ep):
+        return em_moments_scan(pv, N, pidx, ep, k0, k1)
+
+    eps = jnp.uint32(epoch0) + jnp.arange(params_matrix.shape[0],
+                                          dtype=jnp.uint32)
+    return jax.vmap(one)(params_matrix.astype(jnp.float32), eps)

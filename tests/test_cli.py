@@ -126,3 +126,29 @@ def test_explore_batched_csv(tmp_path):
     for line in lines[1:]:
         parts = [p.strip() for p in line.split(",")]
         assert parts[0] == "fe" and len(parts) == 6
+
+
+def test_em_batched_sweep_matches_golden():
+    import jax.numpy as jnp
+    import numpy as np
+    from nmch_tpu.ops.sweep_pallas import em_sweep_pallas, em_sweep_scan
+    from nmch_tpu.rng.philox import split_seed
+    pm = jnp.asarray([[1, 1, 0.1, 0, k, -0.7, 0.1, 0.3]
+                      for k in (0.5, 2.0)], jnp.float32)
+    k0, k1 = split_seed(11)
+    sw = jnp.stack([jnp.uint32(k0), jnp.uint32(k1)])
+    mp, m2p = em_sweep_pallas(pm, sw, jnp.uint32(0), N=5, n_paths=256,
+                              n_points=2, interpret=True)
+    mg, m2g = em_sweep_scan(pm, 11, 0, N=5, n_paths=256)
+    np.testing.assert_allclose(np.asarray(mp), np.asarray(mg), rtol=2e-6)
+    np.testing.assert_allclose(np.asarray(m2p), np.asarray(m2g), rtol=2e-6)
+
+
+def test_explore_batched_em_csv(tmp_path):
+    out = tmp_path / "sweep.csv"
+    rc = explore_run(["--NB", "1", "--N", "4", "--engine", "scan",
+                      "--methods", "em", "--batched", "--out", str(out)])
+    assert rc == 0
+    lines = out.read_text().splitlines()
+    assert len(lines) > 50
+    assert all(l.startswith("em,") for l in lines[1:])
