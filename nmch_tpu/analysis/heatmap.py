@@ -31,6 +31,10 @@ def load_sweep(path: str):
 def plot_heatmaps(data, value: str = "err", outdir: str = ".",
                   group_count: int = 3):
     """One figure per (method, sigma-group); returns the file paths."""
+    if value not in data.columns:
+        cols = [c for c in data.columns if c != "method"]
+        raise SystemExit(f"heatmap: column {value!r} not in the CSV; "
+                         f"available: {', '.join(cols)}")
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
