@@ -47,7 +47,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--method", choices=["fe", "em"], default="fe")
     # TPU-native extensions
     p.add_argument("--engine", choices=["pallas", "scan"], default="pallas")
-    p.add_argument("--rng", choices=["philox", "tpu"], default="philox")
+    p.add_argument("--rng", choices=["philox", "threefry", "tpu"],
+                   default="philox")
     p.add_argument("--antithetic", action="store_true",
                    help="antithetic-variates variance reduction (FE only; "
                         "each path becomes a +/-G pair, CI typically "

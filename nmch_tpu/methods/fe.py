@@ -57,7 +57,7 @@ class NMCH_FE(NMCH):
         super().__init__(cfg, params)
         if engine not in ("pallas", "scan"):
             raise ValueError(f"unknown engine {engine!r}")
-        if rng not in ("philox", "tpu"):
+        if rng not in ("philox", "threefry", "tpu"):
             raise ValueError(f"unknown rng {rng!r}")
         if rng == "tpu" and engine != "pallas":
             raise ValueError("rng='tpu' requires engine='pallas' (the "
@@ -98,8 +98,8 @@ class NMCH_FE(NMCH):
         pidx = path_index_grid(self.cfg.n_paths)
         fn = (fe_moments_antithetic_scan if self.antithetic
               else fe_moments_scan)
-        return jax.jit(fn, static_argnums=1)(
-            pv, self.cfg.N, pidx, jnp.uint32(epoch), k0, k1)
+        return jax.jit(fn, static_argnums=(1, 6))(
+            pv, self.cfg.N, pidx, jnp.uint32(epoch), k0, k1, self.rng)
 
     def compute(self) -> SimResult:
         if self.streams is None:

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..rng.philox import philox4x32
+from ..rng.threefry import draw4_threefry
 from ..rng.normal import normal4_from_bits
 
 
@@ -54,11 +55,25 @@ def fe_step(S, v, g1, g2, r, k, theta, sigma, rho, sqrt_rho_c, dt, sqrt_dt):
     return S, v
 
 
+def make_draw4(rng: str, path_lo, path_hi, epoch, k0, k1):
+    """Block-index -> 4 uint32 words for the chosen counter-based RNG.
+
+    rng="philox": curand-family default; rng="threefry": multiply-free,
+    ~35% faster in-kernel, bit-exact with JAX's own threefry2x32
+    (rng/threefry.py)."""
+    if rng == "philox":
+        return lambda j: philox4x32(j, epoch, path_lo, path_hi, k0, k1)
+    if rng == "threefry":
+        return lambda j: draw4_threefry(j, epoch, path_lo, k0, k1)
+    raise ValueError(f"unknown counter rng {rng!r}")
+
+
 def fe_block_body(j, S, v, path_lo, path_hi, epoch, k0, k1,
-                  r, k, theta, sigma, rho, sqrt_rho_c, dt, sqrt_dt, N: int):
-    """Advance steps 2j and 2j+1 from one Philox block."""
-    bits = philox4x32(jnp.uint32(0) + j.astype(jnp.uint32), epoch,
-                      path_lo, path_hi, k0, k1)
+                  r, k, theta, sigma, rho, sqrt_rho_c, dt, sqrt_dt, N: int,
+                  rng: str = "philox"):
+    """Advance steps 2j and 2j+1 from one counter block."""
+    draw = make_draw4(rng, path_lo, path_hi, epoch, k0, k1)
+    bits = draw(jnp.uint32(0) + j.astype(jnp.uint32))
     g0, g1, g2, g3 = normal4_from_bits(*bits)
     S, v = fe_step(S, v, g0, g1, r, k, theta, sigma, rho, sqrt_rho_c,
                    dt, sqrt_dt)
@@ -75,7 +90,8 @@ def fe_block_body(j, S, v, path_lo, path_hi, epoch, k0, k1,
     return S, v
 
 
-def fe_terminal(params_vec, N: int, path_idx, epoch, k0, k1):
+def fe_terminal(params_vec, N: int, path_idx, epoch, k0, k1,
+                rng: str = "philox"):
     """Simulate all paths to maturity; returns (S_T, v_T) as (R, 128) f32.
 
     params_vec: f32[8] = (T, S_0, v_0, r, k, rho, theta, sigma) — traced,
@@ -99,20 +115,21 @@ def fe_terminal(params_vec, N: int, path_idx, epoch, k0, k1):
         S, v = carry
         return fe_block_body(j, S, v, path_lo, path_hi, ep, k0, k1,
                              r, k, theta, sigma, rho, sqrt_rho_c,
-                             dt, sqrt_dt, N)
+                             dt, sqrt_dt, N, rng=rng)
 
     S, v = lax.fori_loop(0, n_blocks, body, (S0, v0))
     return S, v
 
 
-def fe_moments_scan(params_vec, N: int, path_idx, epoch, k0, k1):
+def fe_moments_scan(params_vec, N: int, path_idx, epoch, k0, k1,
+                    rng: str = "philox"):
     """Golden engine: (E[X], E[X^2]) with X = (S_T - K)^+, K = S_0.
 
     The reference scales each payoff by 1/n before reduction
     (``NMCH_FE.cu:174-175``); we compute sum/n — identical up to
     summation order.
     """
-    S_T, _ = fe_terminal(params_vec, N, path_idx, epoch, k0, k1)
+    S_T, _ = fe_terminal(params_vec, N, path_idx, epoch, k0, k1, rng=rng)
     K = params_vec[1]  # ATM strike = S_0 (NMCH.cu:7)
     payoff = jnp.maximum(S_T - K, 0.0)
     n = jnp.float32(payoff.size)
@@ -121,11 +138,11 @@ def fe_moments_scan(params_vec, N: int, path_idx, epoch, k0, k1):
 
 def fe_antithetic_pair_body(j, S_p, v_p, S_m, v_m, path_lo, path_hi, epoch,
                             k0, k1, r, k, theta, sigma, rho, sqrt_rho_c,
-                            dt, sqrt_dt, N: int):
+                            dt, sqrt_dt, N: int, rng: str = "philox"):
     """Advance an antithetic pair: the (+) copy sees (G1, G2), the (-)
     copy sees (-G1, -G2), from the same stream draws."""
-    bits = philox4x32(jnp.uint32(0) + j.astype(jnp.uint32), epoch,
-                      path_lo, path_hi, k0, k1)
+    draw = make_draw4(rng, path_lo, path_hi, epoch, k0, k1)
+    bits = draw(jnp.uint32(0) + j.astype(jnp.uint32))
     g0, g1, g2, g3 = normal4_from_bits(*bits)
 
     def both(S_p, v_p, S_m, v_m, a, b):
@@ -148,7 +165,8 @@ def fe_antithetic_pair_body(j, S_p, v_p, S_m, v_m, path_lo, path_hi, epoch,
     return S_p, v_p, S_m, v_m
 
 
-def fe_moments_antithetic_scan(params_vec, N: int, path_idx, epoch, k0, k1):
+def fe_moments_antithetic_scan(params_vec, N: int, path_idx, epoch, k0, k1,
+                               rng: str = "philox"):
     """Antithetic-variates estimator (variance reduction — a capability
     the CUDA reference lacks).  Each lane simulates a +/- pair driven
     by (G, -G) from one stream; the sample is the pair mean
@@ -169,7 +187,7 @@ def fe_moments_antithetic_scan(params_vec, N: int, path_idx, epoch, k0, k1):
         S_p, v_p, S_m, v_m = carry
         return fe_antithetic_pair_body(
             j, S_p, v_p, S_m, v_m, path_lo, path_hi, ep, k0, k1,
-            r, k, theta, sigma, rho, sqrt_rho_c, dt, sqrt_dt, N)
+            r, k, theta, sigma, rho, sqrt_rho_c, dt, sqrt_dt, N, rng=rng)
 
     S_p, _, S_m, _ = lax.fori_loop(
         0, n_blocks, body, (ones * S_0, ones * v_0, ones * S_0, ones * v_0))

@@ -35,6 +35,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..rng.philox import philox4x32
+from ..rng.threefry import draw4_threefry
 from ..rng.normal import normal4_from_bits
 from .fe import fe_step
 
@@ -76,7 +77,7 @@ def _fe_kernel(pv_ref, sc_ref, sum_ref, sumsq_ref, *, N: int, rows: int,
     epoch = sc_ref[2]
     base = sc_ref[3] + i.astype(jnp.uint32) * np.uint32(rows * LANES)
 
-    if rng == "philox":
+    if rng in ("philox", "threefry"):
         rr = lax.broadcasted_iota(jnp.uint32, (rows, LANES), 0)
         cc = lax.broadcasted_iota(jnp.uint32, (rows, LANES), 1)
         path_lo = rr * np.uint32(LANES) + cc + base
@@ -98,6 +99,9 @@ def _fe_kernel(pv_ref, sc_ref, sum_ref, sumsq_ref, *, N: int, rows: int,
         if rng == "philox":
             bits = philox4x32(jnp.full((), j, jnp.uint32), epoch,
                               path_lo, path_hi, k0, k1)
+        elif rng == "threefry":
+            bits = draw4_threefry(jnp.full((), j, jnp.uint32), epoch,
+                                  path_lo, k0, k1)
         else:
             bits = [pltpu.prng_random_bits((rows, LANES)).astype(jnp.uint32)
                     for _ in range(4)]
@@ -199,8 +203,9 @@ def fe_moments_pallas(params_vec, seed_words, epoch, base_path, *,
         jnp.asarray(base_path, jnp.uint32),
     ])
 
-    if rng not in ("philox", "tpu"):
-        raise ValueError(f"unknown rng {rng!r} (expected 'philox' or 'tpu')")
+    if rng not in ("philox", "threefry", "tpu"):
+        raise ValueError(f"unknown rng {rng!r} (expected 'philox', "
+                         f"'threefry' or 'tpu')")
     if rng == "tpu" and interpret:
         raise ValueError("rng='tpu' requires real TPU hardware")
     kern = functools.partial(_fe_kernel, N=N, rows=rows, rng=rng,

@@ -156,3 +156,24 @@ def test_antithetic_method_api():
     m.init(1)
     res = m.compute()
     assert 0.08 < res.price < 0.16
+
+
+def test_threefry_engine_parity_and_price():
+    """rng='threefry': golden scan == pallas kernel; price within CI."""
+    n_paths, N = 2048, 64
+    k0, k1 = split_seed(1234)
+    m_s, _ = jax.jit(fe_moments_scan, static_argnums=(1, 6))(
+        P.as_array(), N, path_index_grid(n_paths), jnp.uint32(0), k0, k1,
+        "threefry")
+    sw = jnp.stack([jnp.uint32(k0), jnp.uint32(k1)])
+    m_p, _ = fe_moments_pallas(P.as_array(), sw, jnp.uint32(0),
+                               jnp.uint32(0), N=N, n_paths=n_paths,
+                               rng="threefry", interpret=True)
+    assert float(m_p) == pytest.approx(float(m_s), rel=1e-6)
+    # and the estimate differs from philox draws but is statistically fine
+    m_ph, _ = jax.jit(fe_moments_scan, static_argnums=(1, 6))(
+        P.as_array(), N, path_index_grid(n_paths), jnp.uint32(0), k0, k1,
+        "philox")
+    assert float(m_s) != float(m_ph)
+    from nmch_tpu.oracle import heston_call_undiscounted
+    assert abs(float(m_s) - heston_call_undiscounted(P)) < 0.02

@@ -124,3 +124,35 @@ def test_fast_sincos_accuracy():
     # unit circle invariant
     rad = np.asarray(c) ** 2 + np.asarray(s) ** 2
     assert np.abs(rad - 1.0).max() < 3e-6
+
+
+def test_threefry_bitwise_matches_jax():
+    """Our threefry2x32 must be bit-exact with jax's own PRNG core."""
+    import jax
+    from jax._src.prng import threefry_2x32
+    from nmch_tpu.rng.threefry import threefry2x32
+    rng = np.random.default_rng(3)
+    keys = rng.integers(0, 2**32, size=(32, 2), dtype=np.uint32)
+    ctrs = rng.integers(0, 2**32, size=(32, 2), dtype=np.uint32)
+    for (k0, k1), (x0, x1) in zip(keys, ctrs):
+        exp = threefry_2x32((jnp.uint32(k0), jnp.uint32(k1)),
+                            jnp.array([x0, x1], jnp.uint32))
+        got = threefry2x32(jnp.uint32(k0), jnp.uint32(k1),
+                           jnp.uint32(x0), jnp.uint32(x1))
+        assert (int(got[0]), int(got[1])) == tuple(
+            int(v) for v in np.asarray(exp))
+
+
+def test_threefry_draw4_stream_stats():
+    from nmch_tpu.rng.threefry import draw4_threefry
+    paths = jnp.arange(1 << 15, dtype=jnp.uint32)
+    k0, k1 = split_seed(77)
+    w = draw4_threefry(jnp.uint32(0), jnp.uint32(0), paths, k0, k1)
+    g1, g2 = boxmuller(uniform_open01(w[0]), uniform_open01(w[1]))
+    g1 = np.asarray(g1)
+    assert abs(g1.mean()) < 4 / np.sqrt(g1.size)
+    assert abs(g1.std() - 1) < 0.02
+    # near-distinct words across the block (131072 u32 samples expect
+    # ~2 birthday collisions; a broken generator would show thousands)
+    allw = np.concatenate([np.asarray(x) for x in w])
+    assert len(np.unique(allw)) >= len(allw) - 8
