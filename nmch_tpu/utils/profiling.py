@@ -77,6 +77,9 @@ def variant_ladder(n_paths: int = 1 << 18, N: int = 1000, seed: int = 1234,
                                                jnp.uint32(0), N=N,
                                                n_paths=n_paths, rng="tpu")))
         variants += [
+            ("fe", "pallas", "threefry", lambda e: fe_moments_pallas(
+                pv, sw, jnp.uint32(e), jnp.uint32(0), N=N, n_paths=n_paths,
+                rng="threefry", interpret=interpret)),
             ("fe", "pallas", "philox", lambda e: fe_moments_pallas(
                 pv, sw, jnp.uint32(e), jnp.uint32(0), N=N, n_paths=n_paths,
                 rng="philox", interpret=interpret)),

@@ -58,7 +58,8 @@ def test_variant_ladder_cpu():
     from nmch_tpu.utils.profiling import variant_ladder
     rows = variant_ladder(n_paths=1024, N=10, reps=1, include_em=False,
                           interpret=True)
-    assert len(rows) == 2              # pallas-philox + scan-philox
+    # pallas-threefry + pallas-philox + scan-philox (no rng=tpu on CPU)
+    assert len(rows) == 3
     assert all(r["ms"] > 0 for r in rows)
 
 
