@@ -20,6 +20,9 @@ from ..ops.em_pallas import em_moments_pallas
 from ..utils.timing import Timer
 from .base import NMCH
 
+# module-level jit wrapper — one trace cache across all compute() calls
+_em_scan_jit = jax.jit(em_moments_scan, static_argnums=1)
+
 
 class NMCH_EM(NMCH):
     """Exact-scheme pricer with the reference's 5-step lifecycle."""
@@ -58,8 +61,7 @@ class NMCH_EM(NMCH):
                 N=self.cfg.N, n_paths=self.cfg.n_paths,
                 interpret=self.interpret)
         pidx = path_index_grid(self.cfg.n_paths)
-        return jax.jit(em_moments_scan, static_argnums=1)(
-            pv, self.cfg.N, pidx, jnp.uint32(epoch), k0, k1)
+        return _em_scan_jit(pv, self.cfg.N, pidx, jnp.uint32(epoch), k0, k1)
 
     def compute(self) -> SimResult:
         if self.streams is None:

@@ -40,6 +40,11 @@ from ..ops.fe_pallas import fe_moments_pallas
 from ..utils.timing import Timer
 from .base import NMCH
 
+# module-level jit wrappers so every compute() call hits the same
+# trace cache (a fresh jax.jit(...) per call would retrace each time)
+_scan_jit = jax.jit(fe_moments_scan, static_argnums=(1, 6))
+_scan_anti_jit = jax.jit(fe_moments_antithetic_scan, static_argnums=(1, 6))
+
 
 class NMCH_FE(NMCH):
     """Euler-scheme pricer with the reference's 5-step lifecycle."""
@@ -96,10 +101,8 @@ class NMCH_FE(NMCH):
                 rng=self.rng, antithetic=self.antithetic,
                 interpret=self.interpret)
         pidx = path_index_grid(self.cfg.n_paths)
-        fn = (fe_moments_antithetic_scan if self.antithetic
-              else fe_moments_scan)
-        return jax.jit(fn, static_argnums=(1, 6))(
-            pv, self.cfg.N, pidx, jnp.uint32(epoch), k0, k1, self.rng)
+        fn = _scan_anti_jit if self.antithetic else _scan_jit
+        return fn(pv, self.cfg.N, pidx, jnp.uint32(epoch), k0, k1, self.rng)
 
     def compute(self) -> SimResult:
         if self.streams is None:

@@ -43,7 +43,8 @@ LANES = 128
 
 
 def _fe_kernel(pv_ref, sc_ref, sum_ref, sumsq_ref, *, N: int, rows: int,
-               rng: str = "philox", antithetic: bool = False):
+               rng: str = "philox", antithetic: bool = False,
+               box: str = "hc", unroll: int = 1):
     """One grid program simulates a (rows, 128) tile of paths.
 
     pv_ref: SMEM f32[8]  — (T, S_0, v_0, r, k, rho, theta, sigma)
@@ -83,31 +84,47 @@ def _fe_kernel(pv_ref, sc_ref, sum_ref, sumsq_ref, *, N: int, rows: int,
         path_lo = rr * np.uint32(LANES) + cc + base
         path_hi = jnp.zeros_like(path_lo)
     else:
-        # one hardware stream per (seed, epoch, tile); golden-ratio mix
-        # keeps distinct (epoch, tile) pairs from colliding in the
-        # 2-word seed space the hardware accepts.
-        pltpu.prng_seed(k0 ^ k1,
-                        epoch * np.uint32(0x9E3779B9)
-                        + base * np.uint32(0x85EBCA6B))
+        # one hardware stream per (seed, epoch, tile).  epoch and tile
+        # base live in *separate* seed words (epoch golden-ratio-mixed
+        # into the key word, base bijectively scrambled in the other),
+        # so replaying a stream requires a simultaneous 64-bit match —
+        # not a 32-bit sum collision.
+        pltpu.prng_seed(k0 ^ k1 ^ epoch * np.uint32(0x9E3779B9),
+                        base * np.uint32(0x85EBCA6B))
 
     S0 = jnp.full((rows, LANES), 1.0, jnp.float32) * S_0
     v0 = jnp.full((rows, LANES), 1.0, jnp.float32) * v_0
 
     n_blocks = (N + 1) // 2
+    # unroll U counter blocks (2U steps) per fori iteration; draws and
+    # their consumption order are identical to U=1, so the bitwise
+    # golden==kernel contract is unaffected.
+    U = unroll if unroll and n_blocks % unroll == 0 else 1
+    n_iters = n_blocks // U
 
-    def draw(j):
+    def draw_block(bi):
+        """4 uint32 words for counter block bi (counter-based rngs)."""
         if rng == "philox":
-            bits = philox4x32(jnp.full((), j, jnp.uint32), epoch,
-                              path_lo, path_hi, k0, k1)
-        elif rng == "threefry":
-            bits = draw4_threefry(jnp.full((), j, jnp.uint32), epoch,
-                                  path_lo, k0, k1)
-        else:
-            bits = [pltpu.prng_random_bits((rows, LANES)).astype(jnp.uint32)
-                    for _ in range(4)]
-        return normal4_from_bits(*bits)
+            return philox4x32(bi, epoch, path_lo, path_hi, k0, k1)
+        return draw4_threefry(bi, epoch, path_lo, k0, k1)
 
-    def steps(j, pairs, sign):
+    def draw_iter(j):
+        """U blocks of 4 normals for iteration j."""
+        if rng == "tpu":
+            # one fused generation for all 4U words of the iteration
+            allb = pltpu.prng_random_bits((4 * U * rows, LANES)) \
+                .astype(jnp.uint32)
+            words = [allb[4 * t * rows:(4 * t + 4) * rows] for t in range(U)]
+            return [normal4_from_bits(w[0 * rows:1 * rows],
+                                      w[1 * rows:2 * rows],
+                                      w[2 * rows:3 * rows],
+                                      w[3 * rows:4 * rows], box=box)
+                    for w in words]
+        base_bi = jnp.full((), 0, jnp.uint32) + (j * U).astype(jnp.uint32)
+        return [normal4_from_bits(*draw_block(base_bi + np.uint32(t)),
+                                  box=box) for t in range(U)]
+
+    def steps(bi, pairs, sign):
         """Two Euler steps for one state copy; sign = +/-1 antithetic."""
         g0, g1, g2, g3 = pairs
 
@@ -120,7 +137,7 @@ def _fe_kernel(pv_ref, sc_ref, sum_ref, sumsq_ref, *, N: int, rows: int,
             if N % 2 == 0:
                 S, v = one(S, v, g2, g3)
             else:
-                do = (2 * j + 1) < N
+                do = (2 * bi + 1) < N
                 S2, v2 = one(S, v, g2, g3)
                 S = jnp.where(do, S2, S)
                 v = jnp.where(do, v2, v)
@@ -130,21 +147,24 @@ def _fe_kernel(pv_ref, sc_ref, sum_ref, sumsq_ref, *, N: int, rows: int,
     if antithetic:
         def body(j, carry):
             S_p, v_p, S_m, v_m = carry
-            pairs = draw(j)
-            S_p, v_p = steps(j, pairs, np.float32(1.0))(S_p, v_p)
-            S_m, v_m = steps(j, pairs, np.float32(-1.0))(S_m, v_m)
+            for t, pairs in enumerate(draw_iter(j)):
+                bi = j * U + t
+                S_p, v_p = steps(bi, pairs, np.float32(1.0))(S_p, v_p)
+                S_m, v_m = steps(bi, pairs, np.float32(-1.0))(S_m, v_m)
             return S_p, v_p, S_m, v_m
 
-        S_p, _, S_m, _ = lax.fori_loop(0, n_blocks, body,
+        S_p, _, S_m, _ = lax.fori_loop(0, n_iters, body,
                                        (S0, v0, S0, v0))
         payoff = np.float32(0.5) * (jnp.maximum(S_p - S_0, 0.0)
                                     + jnp.maximum(S_m - S_0, 0.0))
     else:
         def body(j, carry):
             S, v = carry
-            return steps(j, draw(j), np.float32(1.0))(S, v)
+            for t, pairs in enumerate(draw_iter(j)):
+                S, v = steps(j * U + t, pairs, np.float32(1.0))(S, v)
+            return S, v
 
-        S, _ = lax.fori_loop(0, n_blocks, body, (S0, v0))
+        S, _ = lax.fori_loop(0, n_iters, body, (S0, v0))
         payoff = jnp.maximum(S - S_0, 0.0)  # ATM strike K = S_0
 
     tile_sum = jnp.sum(payoff)
@@ -176,11 +196,12 @@ def _pick_tile_rows(total_rows: int, target: int = 512) -> int:
 
 @functools.partial(jax.jit, static_argnames=("N", "n_paths", "tile_rows",
                                              "rng", "antithetic",
-                                             "interpret"))
+                                             "interpret", "box", "unroll"))
 def fe_moments_pallas(params_vec, seed_words, epoch, base_path, *,
                       N: int, n_paths: int, tile_rows: int | None = None,
                       rng: str = "philox", antithetic: bool = False,
-                      interpret: bool = False):
+                      interpret: bool = False, box: str = "hc",
+                      unroll: int = 1):
     """(E[X], E[X^2]) over n_paths FE paths via the fused kernel.
 
     seed_words: uint32[2]; epoch/base_path: uint32 scalars (traced).
@@ -209,7 +230,7 @@ def fe_moments_pallas(params_vec, seed_words, epoch, base_path, *,
     if rng == "tpu" and interpret:
         raise ValueError("rng='tpu' requires real TPU hardware")
     kern = functools.partial(_fe_kernel, N=N, rows=rows, rng=rng,
-                             antithetic=antithetic)
+                             antithetic=antithetic, box=box, unroll=unroll)
     s, s2 = pl.pallas_call(
         kern,
         grid=(grid,),

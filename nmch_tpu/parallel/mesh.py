@@ -57,6 +57,11 @@ def sharded_moments(mesh: Mesh, params_vec, seed: int, epoch, *,
         raise ValueError(
             f"n_paths={n_paths} must be a multiple of 128*n_devices"
             f"={128 * n_dev}")
+    if method == "em" and rng != "philox":
+        raise ValueError("method='em' supports rng='philox' only (the "
+                         "rejection samplers consume lane-local streams)")
+    if method == "fe" and engine == "scan" and rng == "tpu":
+        raise ValueError("rng='tpu' requires engine='pallas'")
     per_chip = n_paths // n_dev
     from ..rng.philox import split_seed
     k0, k1 = split_seed(seed)
@@ -76,8 +81,11 @@ def sharded_moments(mesh: Mesh, params_vec, seed: int, epoch, *,
                                           interpret=interpret)
         else:
             pidx = path_index_grid(per_chip) + base
-            fn = fe_moments_scan if method == "fe" else em_moments_scan
-            m, m2 = fn(pv, N, pidx, ep, sw[0], sw[1])
+            if method == "fe":
+                m, m2 = fe_moments_scan(pv, N, pidx, ep, sw[0], sw[1],
+                                        rng=rng)
+            else:
+                m, m2 = em_moments_scan(pv, N, pidx, ep, sw[0], sw[1])
         # per-chip means -> global means (equal shard sizes)
         nd = jnp.float32(n_dev)
         return (jax.lax.psum(m, PATH_AXIS) / nd,

@@ -14,6 +14,21 @@ import jax.numpy as jnp
 
 TWO_PI = 6.283185307179586
 
+# --- near-minimax polynomial coefficients (benchmarks/fit_polys.py) ---
+# sin(z) = z * P(z^2) on |z| <= pi/2, max abs err 5.9e-7
+_SIN_HC = tuple(np.float32(c) for c in
+                (0.99999662, -0.16664828, 8.3063252e-3, -1.8363653e-4))
+# cos(z) = Q(z^2) on |z| <= pi/2, max abs err 4.7e-8
+_COS_HC = tuple(np.float32(c) for c in
+                (0.99999995, -0.49999905, 4.1663585e-2, -1.38537043e-3,
+                 2.31539307e-5))
+# -2*ln(1+t) = t * M(t) on t in [0,1), relative err 1.9e-7
+_NEG2LOG = tuple(np.float32(-2.0 * c) for c in
+                 (0.99999981, -0.49997405, 0.33275475, -0.24495434,
+                  0.17745159, -0.1076805, 0.04408875, -0.00853896))
+_NEG2LN2 = np.float32(-2.0 * np.log(2.0))       # -1.3862944
+_C254LN2 = np.float32(-127.0 * float(_NEG2LN2))  # exactly cancels at u=1
+
 
 def uniform_open01(bits):
     """uint32 bits -> float32 uniform in (0, 1].
@@ -71,6 +86,74 @@ def sincos_2pi(u):
     return cosv, sinv
 
 
+def neg2log(u):
+    """-2*ln(u) for float32 u in (0, 1] — bits-level fast path.
+
+    XLA's generic ``log`` pays for special-case handling (0, inf, NaN,
+    denormals, negatives) that a Box–Muller radius never needs: our u
+    is a dyadic rational in (0, 1] built from 23 random bits.  Decompose
+    u = m * 2^(e-127) directly from its own bit pattern (m in [1, 2)),
+    then -2 ln u = e * (-2 ln 2) + 254 ln 2 - 2 ln m with a degree-8
+    relative-minimax polynomial for ln m (1.9e-7 relative, so the
+    radius keeps full f32 accuracy even as u -> 1, q -> 0).
+
+    The biased exponent is converted exactly to float with the classic
+    1.5*2^23 magic-number trick — no int->float convert instruction, so
+    the same code lowers on both XLA (golden engine) and Mosaic
+    (kernels), keeping the two engines bitwise identical.
+    """
+    b = u.view(jnp.uint32)
+    # float(biased_exponent) via magic number: eb < 2^9, so OR == ADD
+    ebf = ((b >> np.uint32(23)) | np.uint32(0x4B400000)).view(jnp.float32) \
+        - np.float32(12582912.0)
+    m = ((b & np.uint32(0x007FFFFF)) | np.uint32(0x3F800000)) \
+        .view(jnp.float32)
+    t = m - np.float32(1.0)
+    p = _NEG2LOG[-1]
+    for c in _NEG2LOG[-2::-1]:
+        p = p * t + c
+    q = ebf * _NEG2LN2 + _C254LN2 + t * p
+    # polynomial + rounding residue can dip ~1 ulp below zero at u ~ 1
+    return jnp.maximum(q, np.float32(0.0))
+
+
+def normal_pair_hc(w_r, w_p):
+    """Two uint32 words -> two iid N(0,1) floats (half-circle Box–Muller).
+
+    A TPU-lean restructuring of Box–Muller that removes the quadrant
+    selects and the uniform conversion for the phase entirely:
+
+    * radius   R = sqrt(-2 ln u), u in (0,1] from w_r's top 23 bits
+      (``neg2log`` fast path);
+    * phase    z = pi*(f - 1.5) in [-pi/2, pi/2), f in [1,2) built by
+      masking w_p's low 23 bits straight into a float mantissa;
+    * sign     w_p's bit 31, folded into R by XOR on the sign bit.
+
+    (±cos z, ±sin z) with z uniform on a half-circle and an independent
+    sign covers the full circle uniformly, so (R±cos z, R±sin z) is an
+    exact iid normal pair — same math as the reference's curand_normal2
+    (NMCH_FE.cu:43), different (cheaper) angle bookkeeping.  sin/cos use
+    degree-7/8 near-minimax polynomials (5.9e-7 max err, below the MC
+    noise floor by ~3 orders of magnitude).
+    """
+    q = neg2log(uniform_open01(w_r))
+    R = jnp.sqrt(q)
+    R = (R.view(jnp.uint32) ^ (w_p & np.uint32(0x80000000))) \
+        .view(jnp.float32)
+    f = ((w_p & np.uint32(0x007FFFFF)) | np.uint32(0x3F800000)) \
+        .view(jnp.float32)
+    z = f * np.float32(np.pi) - np.float32(1.5 * np.pi)
+    z2 = z * z
+    s = _SIN_HC[-1]
+    for c in _SIN_HC[-2::-1]:
+        s = s * z2 + c
+    s = s * z
+    c_ = _COS_HC[-1]
+    for c in _COS_HC[-2::-1]:
+        c_ = c_ * z2 + c
+    return R * c_, R * s
+
+
 def boxmuller(u1, u2):
     """Two (0,1] uniforms -> two independent N(0,1) floats.
 
@@ -83,12 +166,22 @@ def boxmuller(u1, u2):
     return r * c, r * s
 
 
-def normal4_from_bits(x0, x1, x2, x3):
+def normal4_from_bits(x0, x1, x2, x3, box: str = "hc"):
     """Four uint32 words -> four N(0,1) floats via two Box–Muller pairs.
 
     This is the TPU analogue of ``curand_normal4`` (the reference's
     fastest Philox variant, FE_k2_philox, ``NMCH_FE.cu:192-245``): one
-    counter block feeds two time steps."""
-    g0, g1 = boxmuller(uniform_open01(x0), uniform_open01(x1))
-    g2, g3 = boxmuller(uniform_open01(x2), uniform_open01(x3))
+    counter block feeds two time steps.
+
+    box="hc" (default): the half-circle construction (normal_pair_hc)
+    — the fast path both engines share.  box="turns": the original
+    full-circle turns-based construction, kept for A/B measurement."""
+    if box == "hc":
+        g0, g1 = normal_pair_hc(x0, x1)
+        g2, g3 = normal_pair_hc(x2, x3)
+    elif box == "turns":
+        g0, g1 = boxmuller(uniform_open01(x0), uniform_open01(x1))
+        g2, g3 = boxmuller(uniform_open01(x2), uniform_open01(x3))
+    else:
+        raise ValueError(f"unknown box {box!r} (expected 'hc' or 'turns')")
     return g0, g1, g2, g3

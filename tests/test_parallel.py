@@ -62,6 +62,45 @@ def test_two_device_mesh(mesh8):
     assert float(m2_) == pytest.approx(m1, rel=2e-6)
 
 
+def test_sharded_fe_pallas_interpret(mesh8):
+    """FE + engine='pallas' under shard_map — the production scale-out
+    configuration (fused kernel per chip, disjoint stream ranges)."""
+    m8, m28 = sharded_moments(mesh8, P.as_array(), seed=1234, epoch=0,
+                              N=16, n_paths=4096, method="fe",
+                              engine="pallas", interpret=True)
+    m1, m21 = _single("fe", 4096, 16)
+    assert float(m8) == pytest.approx(m1, rel=2e-6)
+    assert float(m28) == pytest.approx(m21, rel=2e-6)
+
+
+def test_sharded_rejects_bad_combos(mesh8):
+    with pytest.raises(ValueError, match="philox"):
+        sharded_moments(mesh8, P.as_array(), seed=1, epoch=0,
+                        N=4, n_paths=1024, method="em", engine="scan",
+                        rng="threefry")
+    with pytest.raises(ValueError, match="pallas"):
+        sharded_moments(mesh8, P.as_array(), seed=1, epoch=0,
+                        N=4, n_paths=1024, method="fe", engine="scan",
+                        rng="tpu")
+
+
+def test_sharded_scan_threefry_respects_rng(mesh8):
+    """rng='threefry' with engine='scan' must give threefry draws (was
+    silently philox once)."""
+    k0, k1 = split_seed(1234)
+    m1, _ = jax.jit(fe_moments_scan, static_argnums=(1, 6))(
+        P.as_array(), 16, path_index_grid(4096), jnp.uint32(0), k0, k1,
+        "threefry")
+    m8, _ = sharded_moments(mesh8, P.as_array(), seed=1234, epoch=0,
+                            N=16, n_paths=4096, method="fe",
+                            engine="scan", rng="threefry")
+    assert float(m8) == pytest.approx(float(m1), rel=2e-6)
+    m_ph, _ = sharded_moments(mesh8, P.as_array(), seed=1234, epoch=0,
+                              N=16, n_paths=4096, method="fe",
+                              engine="scan", rng="philox")
+    assert float(m8) != float(m_ph)
+
+
 def test_sharded_em_pallas_interpret(mesh8):
     """EM + engine='pallas' must actually use the EM kernel (was
     silently downgraded to scan once)."""
