@@ -47,12 +47,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--method", choices=["fe", "em"], default="fe")
     # TPU-native extensions
     p.add_argument("--engine", choices=["pallas", "scan"], default="pallas")
-    p.add_argument("--rng", choices=["philox", "threefry", "tpu"],
+    p.add_argument("--rng", choices=["philox", "threefry", "threefry4", "tpu"],
                    default="philox")
     p.add_argument("--antithetic", action="store_true",
                    help="antithetic-variates variance reduction (FE only; "
                         "each path becomes a +/-G pair, CI typically "
-                        "shrinks ~2x at the same path count)")
+                        "shrinks ~2x at the same path count; == --rot 2)")
+    p.add_argument("--rot", type=int, choices=[1, 2, 4, 8], default=None,
+                   help="rotation-coupled copies per path group (FE only): "
+                        "2=antithetic, 4=+quarter-turn angle "
+                        "stratification (fastest effective throughput)")
     p.add_argument("--oracle", action="store_true",
                    help="also print the semi-analytic Heston price")
     p.add_argument("--no-warmup", action="store_true",
@@ -76,12 +80,15 @@ def run(argv=None) -> int:
     if args.method == "fe":
         kwargs["rng"] = args.rng
         kwargs["antithetic"] = args.antithetic
+        kwargs["rot"] = args.rot
     else:
-        if args.rng != "philox":
-            print("note: EM supports --rng philox only; ignoring --rng",
-                  file=sys.stderr)
-        if args.antithetic:
-            print("note: --antithetic is FE-only; ignoring",
+        if args.rng in ("philox", "threefry4"):
+            kwargs["rng"] = args.rng
+        else:
+            print("note: EM supports --rng philox/threefry4 only; "
+                  "ignoring --rng", file=sys.stderr)
+        if args.antithetic or args.rot:
+            print("note: --antithetic/--rot are FE-only; ignoring",
                   file=sys.stderr)
     m = cls(cfg, params, **kwargs)
     m.init(args.seed)

@@ -21,7 +21,7 @@ from ..utils.timing import Timer
 from .base import NMCH
 
 # module-level jit wrapper — one trace cache across all compute() calls
-_em_scan_jit = jax.jit(em_moments_scan, static_argnums=1)
+_em_scan_jit = jax.jit(em_moments_scan, static_argnums=(1, 6))
 
 
 class NMCH_EM(NMCH):
@@ -35,10 +35,10 @@ class NMCH_EM(NMCH):
         super().__init__(cfg, params)
         if engine not in ("pallas", "scan"):
             raise ValueError(f"unknown engine {engine!r}")
-        if rng != "philox":
-            raise ValueError("NMCH_EM currently supports rng='philox' only "
-                             "(lane-local stream consumption is required by "
-                             "the rejection samplers)")
+        if rng not in ("philox", "threefry4"):
+            raise ValueError("NMCH_EM supports rng='philox' or 'threefry4' "
+                             "(the rejection samplers need a lane-local "
+                             "counter-based generator)")
         self.engine = engine
         self.rng = rng
         if interpret is None:
@@ -59,9 +59,10 @@ class NMCH_EM(NMCH):
             return em_moments_pallas(
                 pv, sw, jnp.uint32(epoch), jnp.uint32(0),
                 N=self.cfg.N, n_paths=self.cfg.n_paths,
-                interpret=self.interpret)
+                interpret=self.interpret, rng=self.rng)
         pidx = path_index_grid(self.cfg.n_paths)
-        return _em_scan_jit(pv, self.cfg.N, pidx, jnp.uint32(epoch), k0, k1)
+        return _em_scan_jit(pv, self.cfg.N, pidx, jnp.uint32(epoch), k0, k1,
+                            self.rng)
 
     def compute(self) -> SimResult:
         if self.streams is None:

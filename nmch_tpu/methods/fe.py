@@ -34,7 +34,7 @@ from ..results import SimResult
 from ..rng.philox import split_seed
 from ..rng.streams import PathStreams
 from ..ops.fe import (
-    fe_moments_scan, fe_moments_antithetic_scan, path_index_grid,
+    fe_moments_scan, fe_moments_rot_scan, path_index_grid,
 )
 from ..ops.fe_pallas import fe_moments_pallas
 from ..utils.timing import Timer
@@ -43,7 +43,7 @@ from .base import NMCH
 # module-level jit wrappers so every compute() call hits the same
 # trace cache (a fresh jax.jit(...) per call would retrace each time)
 _scan_jit = jax.jit(fe_moments_scan, static_argnums=(1, 6))
-_scan_anti_jit = jax.jit(fe_moments_antithetic_scan, static_argnums=(1, 6))
+_scan_rot_jit = jax.jit(fe_moments_rot_scan, static_argnums=(1, 6, 7))
 
 
 class NMCH_FE(NMCH):
@@ -53,23 +53,30 @@ class NMCH_FE(NMCH):
 
     def __init__(self, cfg: SimConfig, params: HestonParams,
                  engine: str = "pallas", rng: str = "philox",
-                 antithetic: bool = False,
+                 antithetic: bool = False, rot: int | None = None,
                  interpret: bool | None = None):
-        """antithetic=True simulates a +/-G pair per lane and returns
-        pair-mean samples — a variance-reduction capability beyond the
-        reference (n_paths then counts PAIRS; each pair consumes one
-        plain path's randomness)."""
+        """rot in {1, 2, 4}: rotation-coupled copies per lane (variance
+        reduction beyond the reference, ops/fe.py::rotate_pair).
+        rot=2 == antithetic=True (a +/-G pair per lane); rot=4 adds
+        quarter-turn angle stratification.  n_paths counts GROUPS; each
+        group consumes one plain path's randomness and simulates rot
+        paths."""
         super().__init__(cfg, params)
         if engine not in ("pallas", "scan"):
             raise ValueError(f"unknown engine {engine!r}")
-        if rng not in ("philox", "threefry", "tpu"):
+        if rng not in ("philox", "threefry", "threefry4", "tpu"):
             raise ValueError(f"unknown rng {rng!r}")
         if rng == "tpu" and engine != "pallas":
             raise ValueError("rng='tpu' requires engine='pallas' (the "
                              "golden scan engine is philox-only)")
+        if rot is None:
+            rot = 2 if antithetic else 1
+        if rot not in (1, 2, 4, 8):
+            raise ValueError(f"rot must be 1, 2, 4 or 8, got {rot}")
         self.engine = engine
         self.rng = rng
-        self.antithetic = antithetic
+        self.rot = rot
+        self.antithetic = rot >= 2
         # interpret-mode fallback lets the pallas engine run on CPU
         # (tests / machines without a TPU)
         if interpret is None:
@@ -98,11 +105,14 @@ class NMCH_FE(NMCH):
             return fe_moments_pallas(
                 pv, sw, jnp.uint32(epoch), jnp.uint32(0),
                 N=self.cfg.N, n_paths=self.cfg.n_paths,
-                rng=self.rng, antithetic=self.antithetic,
+                rng=self.rng, rot=self.rot,
                 interpret=self.interpret)
         pidx = path_index_grid(self.cfg.n_paths)
-        fn = _scan_anti_jit if self.antithetic else _scan_jit
-        return fn(pv, self.cfg.N, pidx, jnp.uint32(epoch), k0, k1, self.rng)
+        if self.rot > 1:
+            return _scan_rot_jit(pv, self.cfg.N, pidx, jnp.uint32(epoch),
+                                 k0, k1, self.rng, self.rot)
+        return _scan_jit(pv, self.cfg.N, pidx, jnp.uint32(epoch), k0, k1,
+                         self.rng)
 
     def compute(self) -> SimResult:
         if self.streams is None:

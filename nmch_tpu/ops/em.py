@@ -43,7 +43,8 @@ from .sampling import (
 from .fe import path_index_grid  # re-exported layout helper
 
 
-def em_terminal_core(params_vec, N: int, path_lo, path_hi, epoch, k0, k1):
+def em_terminal_core(params_vec, N: int, path_lo, path_hi, epoch, k0, k1,
+                     rng: str = "philox"):
     """Simulate the exact scheme; returns (S_T, v_T, vI, final_ctr).
 
     Shared verbatim by the golden engine and the Pallas kernels.
@@ -77,9 +78,9 @@ def em_terminal_core(params_vec, N: int, path_lo, path_hi, epoch, k0, k1):
         Vt, vI, ctr = carry
         lam = lam_const * Vt
         N_p, ctr = poisson_from_stream(lam, ctr, ep, path_lo, path_hi,
-                                       k0, k1)
+                                       k0, k1, rng=rng)
         gam, ctr = gamma_ms_from_stream(d_arr + N_p, ctr, ep, path_lo,
-                                        path_hi, k0, k1)
+                                        path_hi, k0, k1, rng=rng)
         Vt_next = vfac * gam
         vI = vI + (Vt + Vt_next)     # dt/2 applied once after the loop
         return (Vt_next, vI, ctr)
@@ -88,7 +89,8 @@ def em_terminal_core(params_vec, N: int, path_lo, path_hi, epoch, k0, k1):
     vI = vI * (dt * np.float32(0.5))
 
     # terminal draw (one more block per path)
-    w0, w1, _, _ = philox4x32(ctr, ep, path_lo, path_hi, k0, k1)
+    from .sampling import make_lane_draw4
+    w0, w1, _, _ = make_lane_draw4(rng)(ctr, ep, path_lo, path_hi, k0, k1)
     g, _ = boxmuller(uniform_open01(w0), uniform_open01(w1))
     ctr = ctr + jnp.uint32(1)
 
@@ -99,18 +101,20 @@ def em_terminal_core(params_vec, N: int, path_lo, path_hi, epoch, k0, k1):
     return S_T, Vt, vI, ctr
 
 
-def em_terminal(params_vec, N: int, path_idx, epoch, k0, k1):
+def em_terminal(params_vec, N: int, path_idx, epoch, k0, k1,
+                rng: str = "philox"):
     """Golden engine entry: (S_T, v_T) for (R, 128) path indices."""
     path_lo = path_idx.astype(jnp.uint32)
     path_hi = jnp.zeros_like(path_lo)
     S_T, v_T, _, _ = em_terminal_core(params_vec, N, path_lo, path_hi,
-                                      epoch, k0, k1)
+                                      epoch, k0, k1, rng=rng)
     return S_T, v_T
 
 
-def em_moments_scan(params_vec, N: int, path_idx, epoch, k0, k1):
+def em_moments_scan(params_vec, N: int, path_idx, epoch, k0, k1,
+                    rng: str = "philox"):
     """Golden engine: (E[X], E[X^2]) with X = (S_T - K)^+, K = S_0."""
-    S_T, _ = em_terminal(params_vec, N, path_idx, epoch, k0, k1)
+    S_T, _ = em_terminal(params_vec, N, path_idx, epoch, k0, k1, rng=rng)
     K = params_vec[1]
     payoff = jnp.maximum(S_T - K, 0.0)
     n = jnp.float32(payoff.size)

@@ -32,7 +32,8 @@ from .fe_pallas import _pick_tile_rows
 LANES = 128
 
 
-def _em_kernel(pv_ref, sc_ref, sum_ref, sumsq_ref, *, N: int, rows: int):
+def _em_kernel(pv_ref, sc_ref, sum_ref, sumsq_ref, *, N: int, rows: int,
+               rng: str = "philox"):
     """One grid program simulates a (rows, 128) tile of EM paths.
 
     pv_ref: SMEM f32[8]  — (T, S_0, v_0, r, k, rho, theta, sigma)
@@ -50,7 +51,8 @@ def _em_kernel(pv_ref, sc_ref, sum_ref, sumsq_ref, *, N: int, rows: int):
     path_hi = jnp.zeros_like(path_lo)
 
     pv = jnp.stack([pv_ref[j] for j in range(8)])
-    S_T, _, _, _ = em_terminal_core(pv, N, path_lo, path_hi, epoch, k0, k1)
+    S_T, _, _, _ = em_terminal_core(pv, N, path_lo, path_hi, epoch, k0, k1,
+                                    rng=rng)
 
     payoff = jnp.maximum(S_T - pv_ref[1], 0.0)   # ATM strike K = S_0
     tile_sum = jnp.sum(payoff)
@@ -68,11 +70,15 @@ def _em_kernel(pv_ref, sc_ref, sum_ref, sumsq_ref, *, N: int, rows: int):
 
 
 @functools.partial(jax.jit, static_argnames=("N", "n_paths", "tile_rows",
-                                             "interpret"))
+                                             "interpret", "rng"))
 def em_moments_pallas(params_vec, seed_words, epoch, base_path, *,
                       N: int, n_paths: int, tile_rows: int | None = None,
-                      interpret: bool = False):
-    """(E[X], E[X^2]) over n_paths exact-scheme paths."""
+                      interpret: bool = False, rng: str = "philox"):
+    """(E[X], E[X^2]) over n_paths exact-scheme paths.
+
+    rng: "philox" (default, curand-family parity) or "threefry4" (the
+    fast reproducible generator, rng/threefry4.py) — both engines draw
+    identically (lane-local counters, ops/sampling.py)."""
     if n_paths % LANES:
         raise ValueError(f"n_paths={n_paths} must be a multiple of {LANES}")
     total_rows = n_paths // LANES
@@ -91,7 +97,7 @@ def em_moments_pallas(params_vec, seed_words, epoch, base_path, *,
         jnp.asarray(base_path, jnp.uint32),
     ])
 
-    kern = functools.partial(_em_kernel, N=N, rows=rows)
+    kern = functools.partial(_em_kernel, N=N, rows=rows, rng=rng)
     s, s2 = pl.pallas_call(
         kern,
         grid=(grid,),

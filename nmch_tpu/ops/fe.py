@@ -34,6 +34,7 @@ from jax import lax
 
 from ..rng.philox import philox4x32
 from ..rng.threefry import draw4_threefry
+from ..rng.threefry4 import draw4_threefry4
 from ..rng.normal import normal4_from_bits
 
 
@@ -60,11 +61,15 @@ def make_draw4(rng: str, path_lo, path_hi, epoch, k0, k1):
 
     rng="philox": curand-family default; rng="threefry": multiply-free,
     ~35% faster in-kernel, bit-exact with JAX's own threefry2x32
-    (rng/threefry.py)."""
+    (rng/threefry.py); rng="threefry4": one fused 4-word block per
+    call, the fastest reproducible generator (rng/threefry4.py)."""
     if rng == "philox":
         return lambda j: philox4x32(j, epoch, path_lo, path_hi, k0, k1)
     if rng == "threefry":
         return lambda j: draw4_threefry(j, epoch, path_lo, k0, k1)
+    if rng == "threefry4":
+        return lambda j: draw4_threefry4(j, epoch, path_lo, k0, k1,
+                                         path_hi=path_hi)
     raise ValueError(f"unknown counter rng {rng!r}")
 
 
@@ -136,43 +141,76 @@ def fe_moments_scan(params_vec, N: int, path_idx, epoch, k0, k1,
     return jnp.sum(payoff) / n, jnp.sum(payoff * payoff) / n
 
 
-def fe_antithetic_pair_body(j, S_p, v_p, S_m, v_m, path_lo, path_hi, epoch,
-                            k0, k1, r, k, theta, sigma, rho, sqrt_rho_c,
-                            dt, sqrt_dt, N: int, rng: str = "philox"):
-    """Advance an antithetic pair: the (+) copy sees (G1, G2), the (-)
-    copy sees (-G1, -G2), from the same stream draws."""
+_SQRT_HALF = np.float32(np.sqrt(0.5))
+
+
+def rotation_images(a, b, rot: int):
+    """``rot`` orthogonal images of an iid normal pair.
+
+    rot=2: (a,b), (-a,-b) — classic antithetic variates.
+    rot=4: + (b,-a), (-b,a) — quarter-turn stratification of the
+           Box–Muller angle.
+    rot=8: + the four quarter-turns of the 45°-rotated pair
+           c=(a-b)/sqrt2, d=(a+b)/sqrt2 — eighth-turn stratification.
+
+    Each image is an exact iid N(0,1)^2 pair (the isotropic Gaussian is
+    invariant under orthogonal maps), so every rotated copy drives a
+    marginally-exact Euler path.  One draw's bits amortize over rot
+    simulated paths (the throughput lever) while the group mean has
+    *lower* variance than iid paths of the same count (measured in
+    benchmarks/RESULTS.md; asserted in tests/test_fe.py)."""
+    imgs = [(a, b), (-a, -b), (b, -a), (-b, a)]
+    if rot > 4:
+        c = (a - b) * _SQRT_HALF
+        d = (a + b) * _SQRT_HALF
+        imgs += [(c, d), (-c, -d), (d, -c), (-d, c)]
+    return imgs[:rot]
+
+
+def rotate_pair(a, b, t: int):
+    """Variant t of rotation_images (kept for call sites that index)."""
+    return rotation_images(a, b, t + 1)[t]
+
+
+def fe_rot_block_body(j, Ss, vs, path_lo, path_hi, epoch, k0, k1,
+                      r, k, theta, sigma, rho, sqrt_rho_c,
+                      dt, sqrt_dt, N: int, rot: int, rng: str = "philox"):
+    """Advance ``rot`` rotation-coupled path copies through steps
+    2j and 2j+1 from one counter block (same draws as rot=1)."""
     draw = make_draw4(rng, path_lo, path_hi, epoch, k0, k1)
     bits = draw(jnp.uint32(0) + j.astype(jnp.uint32))
     g0, g1, g2, g3 = normal4_from_bits(*bits)
 
-    def both(S_p, v_p, S_m, v_m, a, b):
-        S_p, v_p = fe_step(S_p, v_p, a, b, r, k, theta, sigma, rho,
-                           sqrt_rho_c, dt, sqrt_dt)
-        S_m, v_m = fe_step(S_m, v_m, -a, -b, r, k, theta, sigma, rho,
-                           sqrt_rho_c, dt, sqrt_dt)
-        return S_p, v_p, S_m, v_m
+    def all_copies(Ss, vs, a, b):
+        out_S, out_v = [], []
+        for t, (ta, tb) in enumerate(rotation_images(a, b, rot)):
+            S, v = fe_step(Ss[t], vs[t], ta, tb, r, k, theta, sigma,
+                           rho, sqrt_rho_c, dt, sqrt_dt)
+            out_S.append(S)
+            out_v.append(v)
+        return out_S, out_v
 
-    S_p, v_p, S_m, v_m = both(S_p, v_p, S_m, v_m, g0, g1)
+    Ss, vs = all_copies(Ss, vs, g0, g1)
     if N % 2 == 0:
-        S_p, v_p, S_m, v_m = both(S_p, v_p, S_m, v_m, g2, g3)
+        Ss, vs = all_copies(Ss, vs, g2, g3)
     else:
         do = (2 * j + 1) < N
-        S2p, v2p, S2m, v2m = both(S_p, v_p, S_m, v_m, g2, g3)
-        S_p = jnp.where(do, S2p, S_p)
-        v_p = jnp.where(do, v2p, v_p)
-        S_m = jnp.where(do, S2m, S_m)
-        v_m = jnp.where(do, v2m, v_m)
-    return S_p, v_p, S_m, v_m
+        S2, v2 = all_copies(Ss, vs, g2, g3)
+        Ss = [jnp.where(do, s2, s) for s2, s in zip(S2, Ss)]
+        vs = [jnp.where(do, w2, w) for w2, w in zip(v2, vs)]
+    return Ss, vs
 
 
-def fe_moments_antithetic_scan(params_vec, N: int, path_idx, epoch, k0, k1,
-                               rng: str = "philox"):
-    """Antithetic-variates estimator (variance reduction — a capability
-    the CUDA reference lacks).  Each lane simulates a +/- pair driven
-    by (G, -G) from one stream; the sample is the pair mean
-    Y = (X+ + X-)/2, so the returned (E[Y], E[Y^2]) feed the standard
-    CI formulas with n = number of pairs (one pair uses the randomness
-    of one plain path)."""
+def fe_moments_rot_scan(params_vec, N: int, path_idx, epoch, k0, k1,
+                        rng: str = "philox", rot: int = 2):
+    """Rotation-sampling estimator (variance reduction beyond the CUDA
+    reference).  Each lane simulates ``rot`` orthogonally-coupled
+    copies driven by rotate_pair of one stream's draws; the sample is
+    the group mean Y = (1/rot) sum X_t, so the returned (E[Y], E[Y^2])
+    feed the standard CI formulas with n = number of groups (one group
+    consumes the randomness of one plain path)."""
+    if rot not in (2, 4, 8):
+        raise ValueError(f"rot must be 2, 4 or 8, got {rot}")
     T, S_0, v_0, r, k, rho, theta, sigma = (params_vec[i] for i in range(8))
     dt = T / jnp.float32(N)
     sqrt_dt = jnp.sqrt(dt)
@@ -184,15 +222,27 @@ def fe_moments_antithetic_scan(params_vec, N: int, path_idx, epoch, k0, k1,
     n_blocks = (N + 1) // 2
 
     def body(j, carry):
-        S_p, v_p, S_m, v_m = carry
-        return fe_antithetic_pair_body(
-            j, S_p, v_p, S_m, v_m, path_lo, path_hi, ep, k0, k1,
-            r, k, theta, sigma, rho, sqrt_rho_c, dt, sqrt_dt, N, rng=rng)
+        Ss, vs = list(carry[:rot]), list(carry[rot:])
+        Ss, vs = fe_rot_block_body(
+            j, Ss, vs, path_lo, path_hi, ep, k0, k1,
+            r, k, theta, sigma, rho, sqrt_rho_c, dt, sqrt_dt, N,
+            rot=rot, rng=rng)
+        return tuple(Ss) + tuple(vs)
 
-    S_p, _, S_m, _ = lax.fori_loop(
-        0, n_blocks, body, (ones * S_0, ones * v_0, ones * S_0, ones * v_0))
+    init = tuple(ones * S_0 for _ in range(rot)) \
+        + tuple(ones * v_0 for _ in range(rot))
+    out = lax.fori_loop(0, n_blocks, body, init)
     K = params_vec[1]
-    y = np.float32(0.5) * (jnp.maximum(S_p - K, 0.0)
-                           + jnp.maximum(S_m - K, 0.0))
+    y = jnp.maximum(out[0] - K, 0.0)
+    for t in range(1, rot):
+        y = y + jnp.maximum(out[t] - K, 0.0)
+    y = y * np.float32(1.0 / rot)
     n = jnp.float32(y.size)
     return jnp.sum(y) / n, jnp.sum(y * y) / n
+
+
+def fe_moments_antithetic_scan(params_vec, N: int, path_idx, epoch, k0, k1,
+                               rng: str = "philox"):
+    """Antithetic variates == rotation sampling with rot=2."""
+    return fe_moments_rot_scan(params_vec, N, path_idx, epoch, k0, k1,
+                               rng=rng, rot=2)

@@ -36,14 +36,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..rng.philox import philox4x32
 from ..rng.threefry import draw4_threefry
+from ..rng.threefry4 import draw4_threefry4
 from ..rng.normal import normal4_from_bits
-from .fe import fe_step
+from .fe import fe_step, rotation_images
 
 LANES = 128
 
 
 def _fe_kernel(pv_ref, sc_ref, sum_ref, sumsq_ref, *, N: int, rows: int,
-               rng: str = "philox", antithetic: bool = False,
+               rng: str = "philox", rot: int = 1,
                box: str = "hc", unroll: int = 1):
     """One grid program simulates a (rows, 128) tile of paths.
 
@@ -78,7 +79,7 @@ def _fe_kernel(pv_ref, sc_ref, sum_ref, sumsq_ref, *, N: int, rows: int,
     epoch = sc_ref[2]
     base = sc_ref[3] + i.astype(jnp.uint32) * np.uint32(rows * LANES)
 
-    if rng in ("philox", "threefry"):
+    if rng in ("philox", "threefry", "threefry4"):
         rr = lax.broadcasted_iota(jnp.uint32, (rows, LANES), 0)
         cc = lax.broadcasted_iota(jnp.uint32, (rows, LANES), 1)
         path_lo = rr * np.uint32(LANES) + cc + base
@@ -98,14 +99,21 @@ def _fe_kernel(pv_ref, sc_ref, sum_ref, sumsq_ref, *, N: int, rows: int,
     n_blocks = (N + 1) // 2
     # unroll U counter blocks (2U steps) per fori iteration; draws and
     # their consumption order are identical to U=1, so the bitwise
-    # golden==kernel contract is unaffected.
-    U = unroll if unroll and n_blocks % unroll == 0 else 1
+    # golden==kernel contract is unaffected.  unroll=0: auto (largest
+    # power of two <= 8 dividing n_blocks — measured best on v5e).
+    if unroll:
+        U = unroll if n_blocks % unroll == 0 else 1
+    else:
+        U = max(u for u in (8, 4, 2, 1) if n_blocks % u == 0)
     n_iters = n_blocks // U
 
     def draw_block(bi):
         """4 uint32 words for counter block bi (counter-based rngs)."""
         if rng == "philox":
             return philox4x32(bi, epoch, path_lo, path_hi, k0, k1)
+        if rng == "threefry4":
+            return draw4_threefry4(bi, epoch, path_lo, k0, k1,
+                                   path_hi=path_hi)
         return draw4_threefry(bi, epoch, path_lo, k0, k1)
 
     def draw_iter(j):
@@ -124,48 +132,43 @@ def _fe_kernel(pv_ref, sc_ref, sum_ref, sumsq_ref, *, N: int, rows: int,
         return [normal4_from_bits(*draw_block(base_bi + np.uint32(t)),
                                   box=box) for t in range(U)]
 
-    def steps(bi, pairs, sign):
-        """Two Euler steps for one state copy; sign = +/-1 antithetic."""
+    def block_steps(bi, pairs, Ss, vs):
+        """Advance all rot copies through counter block bi (2 steps);
+        copy t sees rotation_images(., ., rot)[t] of the shared draws."""
         g0, g1, g2, g3 = pairs
 
-        def one(S, v, a, b):
-            return fe_step(S, v, sign * a, sign * b, r, k, theta, sigma,
-                           rho, sqrt_rho_c, dt, sqrt_dt)
+        def all_copies(Ss, vs, a, b):
+            oS, ov = [], []
+            for t, (ta, tb) in enumerate(rotation_images(a, b, rot)):
+                S, v = fe_step(Ss[t], vs[t], ta, tb, r, k, theta, sigma,
+                               rho, sqrt_rho_c, dt, sqrt_dt)
+                oS.append(S)
+                ov.append(v)
+            return oS, ov
 
-        def two(S, v):
-            S, v = one(S, v, g0, g1)
-            if N % 2 == 0:
-                S, v = one(S, v, g2, g3)
-            else:
-                do = (2 * bi + 1) < N
-                S2, v2 = one(S, v, g2, g3)
-                S = jnp.where(do, S2, S)
-                v = jnp.where(do, v2, v)
-            return S, v
-        return two
+        Ss, vs = all_copies(Ss, vs, g0, g1)
+        if N % 2 == 0:
+            Ss, vs = all_copies(Ss, vs, g2, g3)
+        else:
+            do = (2 * bi + 1) < N
+            S2, v2 = all_copies(Ss, vs, g2, g3)
+            Ss = [jnp.where(do, b_, a_) for b_, a_ in zip(S2, Ss)]
+            vs = [jnp.where(do, b_, a_) for b_, a_ in zip(v2, vs)]
+        return Ss, vs
 
-    if antithetic:
-        def body(j, carry):
-            S_p, v_p, S_m, v_m = carry
-            for t, pairs in enumerate(draw_iter(j)):
-                bi = j * U + t
-                S_p, v_p = steps(bi, pairs, np.float32(1.0))(S_p, v_p)
-                S_m, v_m = steps(bi, pairs, np.float32(-1.0))(S_m, v_m)
-            return S_p, v_p, S_m, v_m
+    def body(j, carry):
+        Ss, vs = list(carry[:rot]), list(carry[rot:])
+        for t, pairs in enumerate(draw_iter(j)):
+            Ss, vs = block_steps(j * U + t, pairs, Ss, vs)
+        return tuple(Ss) + tuple(vs)
 
-        S_p, _, S_m, _ = lax.fori_loop(0, n_iters, body,
-                                       (S0, v0, S0, v0))
-        payoff = np.float32(0.5) * (jnp.maximum(S_p - S_0, 0.0)
-                                    + jnp.maximum(S_m - S_0, 0.0))
-    else:
-        def body(j, carry):
-            S, v = carry
-            for t, pairs in enumerate(draw_iter(j)):
-                S, v = steps(j * U + t, pairs, np.float32(1.0))(S, v)
-            return S, v
-
-        S, _ = lax.fori_loop(0, n_iters, body, (S0, v0))
-        payoff = jnp.maximum(S - S_0, 0.0)  # ATM strike K = S_0
+    init = tuple(S0 for _ in range(rot)) + tuple(v0 for _ in range(rot))
+    out = lax.fori_loop(0, n_iters, body, init)
+    payoff = jnp.maximum(out[0] - S_0, 0.0)  # ATM strike K = S_0
+    for t in range(1, rot):
+        payoff = payoff + jnp.maximum(out[t] - S_0, 0.0)
+    if rot > 1:
+        payoff = payoff * np.float32(1.0 / rot)
 
     tile_sum = jnp.sum(payoff)
     tile_sumsq = jnp.sum(payoff * payoff)
@@ -180,9 +183,16 @@ def _fe_kernel(pv_ref, sc_ref, sum_ref, sumsq_ref, *, N: int, rows: int,
     sumsq_ref[0, 0] += tile_sumsq
 
 
-def _pick_tile_rows(total_rows: int, target: int = 512) -> int:
-    """Largest divisor of total_rows that is <= target (keeps every live
-    (rows, 128) f32 array ~256 KB so the loop body stays in VMEM)."""
+def _pick_tile_rows(total_rows: int, target: int = 128) -> int:
+    """Largest divisor of total_rows that is <= target.
+
+    Defaults come from the measured tile ladder on v5e
+    (benchmarks/fe_micro.py, recorded in benchmarks/RESULTS.md): FE
+    throughput plateaus for tiles 16..128 and falls off above (live
+    state exceeds what Mosaic keeps register/VMEM-resident) and below
+    16 (per-program overhead).  Callers shrink ``target`` when the
+    kernel carries more live state per lane (rot copies, EM samplers).
+    """
     best = 1
     d = 1
     while d * d <= total_rows:
@@ -195,23 +205,37 @@ def _pick_tile_rows(total_rows: int, target: int = 512) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("N", "n_paths", "tile_rows",
-                                             "rng", "antithetic",
+                                             "rng", "antithetic", "rot",
                                              "interpret", "box", "unroll"))
 def fe_moments_pallas(params_vec, seed_words, epoch, base_path, *,
                       N: int, n_paths: int, tile_rows: int | None = None,
                       rng: str = "philox", antithetic: bool = False,
+                      rot: int | None = None,
                       interpret: bool = False, box: str = "hc",
-                      unroll: int = 1):
-    """(E[X], E[X^2]) over n_paths FE paths via the fused kernel.
+                      unroll: int = 0):
+    """(E[X], E[X^2]) over n_paths FE path groups via the fused kernel.
 
     seed_words: uint32[2]; epoch/base_path: uint32 scalars (traced).
     base_path offsets the per-path stream indices — used by the
     multi-chip sharding so every chip owns a disjoint stream range.
+
+    rot in {1, 2, 4}: rotation-coupled copies per stream (see
+    ops/fe.py::rotate_pair) — rot=2 is antithetic variates (the
+    ``antithetic`` flag is a synonym), rot=4 adds quarter-turn angle
+    stratification.  Moments are over the n_paths *group means*; the
+    kernel simulates rot * n_paths paths' worth of Euler steps.
     """
+    if rot is None:
+        rot = 2 if antithetic else 1
+    if rot not in (1, 2, 4, 8):
+        raise ValueError(f"rot must be 1, 2, 4 or 8, got {rot}")
     if n_paths % LANES:
         raise ValueError(f"n_paths={n_paths} must be a multiple of {LANES}")
     total_rows = n_paths // LANES
-    rows = tile_rows or _pick_tile_rows(total_rows)
+    # measured optimum shrinks with live state: 128 rows for rot=1,
+    # 64 for rot=2, 32 for rot=4/8 (benchmarks/RESULTS.md tile ladder)
+    rows = tile_rows or _pick_tile_rows(total_rows,
+                                        target=max(32, 128 // (rot or 1)))
     if total_rows % rows:
         raise ValueError(f"tile_rows={rows} must divide {total_rows}")
     grid = total_rows // rows
@@ -224,13 +248,13 @@ def fe_moments_pallas(params_vec, seed_words, epoch, base_path, *,
         jnp.asarray(base_path, jnp.uint32),
     ])
 
-    if rng not in ("philox", "threefry", "tpu"):
+    if rng not in ("philox", "threefry", "threefry4", "tpu"):
         raise ValueError(f"unknown rng {rng!r} (expected 'philox', "
-                         f"'threefry' or 'tpu')")
+                         f"'threefry', 'threefry4' or 'tpu')")
     if rng == "tpu" and interpret:
         raise ValueError("rng='tpu' requires real TPU hardware")
     kern = functools.partial(_fe_kernel, N=N, rows=rows, rng=rng,
-                             antithetic=antithetic, box=box, unroll=unroll)
+                             rot=rot, box=box, unroll=unroll)
     s, s2 = pl.pallas_call(
         kern,
         grid=(grid,),

@@ -43,6 +43,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..rng.philox import philox4x32
+from ..rng.threefry4 import draw4_threefry4
 from ..rng.normal import uniform_open01, uniform_halfopen01, boxmuller
 
 _HALF_LN_2PI = np.float32(0.9189385332046727)  # 0.5*ln(2*pi)
@@ -79,9 +80,19 @@ def lgamma_kp1(kf):
     return stirling - logm
 
 
-def _draw4(ctr, epoch, path_lo, path_hi, k0, k1):
-    """One Philox block per lane at that lane's current counter."""
-    return philox4x32(ctr, epoch, path_lo, path_hi, k0, k1)
+def make_lane_draw4(rng: str):
+    """One 4-word block per lane at that lane's current counter.
+
+    Any counter-based PRF fits the lane-local consumption contract
+    (the draw is a pure function of (ctr, epoch, path, key)); the
+    rejection samplers below take the resulting callable."""
+    if rng == "philox":
+        return philox4x32
+    if rng == "threefry4":
+        return lambda ctr, ep, lo, hi, k0, k1: \
+            draw4_threefry4(ctr, ep, lo, k0, k1, path_hi=hi)
+    raise ValueError(f"unknown lane rng {rng!r} (expected 'philox' or "
+                     f"'threefry4')")
 
 
 # regime thresholds (mirrors curand's published algorithm switching)
@@ -90,13 +101,14 @@ _POISSON_LARGE = 4000.0
 
 
 def poisson_from_stream(lam, ctr, epoch, path_lo, path_hi, k0, k1,
-                        max_rounds: int = 64):
+                        max_rounds: int = 64, rng: str = "philox"):
     """Sample N_p ~ Poisson(lam) per lane; returns (N_p_f32, new_ctr).
 
     lam, ctr: equally-shaped f32/u32 arrays.  Each active lane consumes
     one Philox block per round from its own stream.
     """
     lam = lam.astype(jnp.float32)
+    draw4 = make_lane_draw4(rng)
     znr, fznr = anchored_zeros(path_lo)
     small = lam < np.float32(_POISSON_SMALL)
     large = lam >= np.float32(_POISSON_LARGE)
@@ -116,7 +128,7 @@ def poisson_from_stream(lam, ctr, epoch, path_lo, path_hi, k0, k1,
     def body(st):
         actu, result, t, cnt, c, rnd = st
         active = actu > np.uint32(0)
-        w0, w1, w2, w3 = _draw4(c, epoch, path_lo, path_hi, k0, k1)
+        w0, w1, w2, w3 = draw4(c, epoch, path_lo, path_hi, k0, k1)
 
         # --- large lambda: one normal-approximation draw
         g, _ = boxmuller(uniform_open01(w0), uniform_open01(w1))
@@ -172,7 +184,7 @@ def poisson_from_stream(lam, ctr, epoch, path_lo, path_hi, k0, k1,
 
 
 def gamma_ms_from_stream(alpha0, ctr, epoch, path_lo, path_hi, k0, k1,
-                         max_rounds: int = 32):
+                         max_rounds: int = 32, rng: str = "philox"):
     """Sample Gamma(alpha0, 1) per lane via Marsaglia–Tsang;
     returns (gamma_f32, new_ctr).
 
@@ -181,6 +193,7 @@ def gamma_ms_from_stream(alpha0, ctr, epoch, path_lo, path_hi, k0, k1,
     pre-loop hoist (NMCH_EM.cu:29-38).
     """
     alpha0 = alpha0.astype(jnp.float32)
+    draw4 = make_lane_draw4(rng)
     znr, fznr = anchored_zeros(path_lo)
     need_boost = alpha0 < np.float32(1.0)
     alpha = alpha0 + jnp.where(need_boost, np.float32(1.0), np.float32(0.0))
@@ -194,7 +207,7 @@ def gamma_ms_from_stream(alpha0, ctr, epoch, path_lo, path_hi, k0, k1,
     def body(st):
         actu, result, C, c, rnd = st
         active = actu > np.uint32(0)
-        w0, w1, w2, w3 = _draw4(c, epoch, path_lo, path_hi, k0, k1)
+        w0, w1, w2, w3 = draw4(c, epoch, path_lo, path_hi, k0, k1)
         x, _ = boxmuller(uniform_open01(w0), uniform_open01(w1))
         v1 = np.float32(1.0) + cmul * x
         v = v1 * v1 * v1

@@ -57,9 +57,10 @@ def sharded_moments(mesh: Mesh, params_vec, seed: int, epoch, *,
         raise ValueError(
             f"n_paths={n_paths} must be a multiple of 128*n_devices"
             f"={128 * n_dev}")
-    if method == "em" and rng != "philox":
-        raise ValueError("method='em' supports rng='philox' only (the "
-                         "rejection samplers consume lane-local streams)")
+    if method == "em" and rng not in ("philox", "threefry4"):
+        raise ValueError("method='em' supports rng='philox' or 'threefry4' "
+                         "(the rejection samplers consume lane-local "
+                         "counter streams)")
     if method == "fe" and engine == "scan" and rng == "tpu":
         raise ValueError("rng='tpu' requires engine='pallas'")
     per_chip = n_paths // n_dev
@@ -77,7 +78,7 @@ def sharded_moments(mesh: Mesh, params_vec, seed: int, epoch, *,
                                           interpret=interpret)
             else:
                 m, m2 = em_moments_pallas(pv, sw, ep, base, N=N,
-                                          n_paths=per_chip,
+                                          n_paths=per_chip, rng=rng,
                                           interpret=interpret)
         else:
             pidx = path_index_grid(per_chip) + base
@@ -85,7 +86,8 @@ def sharded_moments(mesh: Mesh, params_vec, seed: int, epoch, *,
                 m, m2 = fe_moments_scan(pv, N, pidx, ep, sw[0], sw[1],
                                         rng=rng)
             else:
-                m, m2 = em_moments_scan(pv, N, pidx, ep, sw[0], sw[1])
+                m, m2 = em_moments_scan(pv, N, pidx, ep, sw[0], sw[1],
+                                        rng=rng)
         # per-chip means -> global means (equal shard sizes)
         nd = jnp.float32(n_dev)
         return (jax.lax.psum(m, PATH_AXIS) / nd,

@@ -94,3 +94,35 @@ def test_method_lifecycle():
 def test_em_rejects_tpu_rng():
     with pytest.raises(ValueError):
         NMCH_EM(SimConfig(), P, rng="tpu")
+
+
+def test_em_threefry4_parity_and_price():
+    """rng='threefry4': golden scan == pallas kernel; price sane and
+    distinct from philox draws (fast reproducible generator for EM)."""
+    from nmch_tpu.ops.em import em_moments_scan
+    from nmch_tpu.ops.fe import path_index_grid
+    import jax
+    n_paths, N = 2048, 8
+    k0, k1 = split_seed(1234)
+    m_s, _ = jax.jit(em_moments_scan, static_argnums=(1, 6))(
+        P.as_array(), N, path_index_grid(n_paths), jnp.uint32(0), k0, k1,
+        "threefry4")
+    sw = jnp.stack([jnp.uint32(k0), jnp.uint32(k1)])
+    m_p, _ = em_moments_pallas(P.as_array(), sw, jnp.uint32(0),
+                               jnp.uint32(0), N=N, n_paths=n_paths,
+                               rng="threefry4", interpret=True)
+    assert float(m_p) == pytest.approx(float(m_s), rel=1e-6)
+    m_ph, _ = jax.jit(em_moments_scan, static_argnums=(1, 6))(
+        P.as_array(), N, path_index_grid(n_paths), jnp.uint32(0), k0, k1,
+        "philox")
+    assert float(m_s) != float(m_ph)
+    from nmch_tpu.oracle import heston_call_undiscounted
+    assert abs(float(m_s) - heston_call_undiscounted(P)) < 0.02
+
+
+def test_em_threefry4_method_api():
+    m = NMCH_EM(SimConfig(NTPB=512, NB=4, N=16), P, engine="scan",
+                rng="threefry4")
+    m.init(7)
+    res = m.compute()
+    assert 0.05 < res.price < 0.25

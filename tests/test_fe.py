@@ -158,6 +158,56 @@ def test_antithetic_method_api():
     assert 0.08 < res.price < 0.16
 
 
+def test_threefry4_engine_parity_and_price():
+    """rng='threefry4' (fast reproducible): golden scan == pallas."""
+    n_paths, N = 2048, 64
+    k0, k1 = split_seed(1234)
+    m_s, _ = jax.jit(fe_moments_scan, static_argnums=(1, 6))(
+        P.as_array(), N, path_index_grid(n_paths), jnp.uint32(0), k0, k1,
+        "threefry4")
+    sw = jnp.stack([jnp.uint32(k0), jnp.uint32(k1)])
+    m_p, _ = fe_moments_pallas(P.as_array(), sw, jnp.uint32(0),
+                               jnp.uint32(0), N=N, n_paths=n_paths,
+                               rng="threefry4", interpret=True)
+    assert float(m_p) == pytest.approx(float(m_s), rel=1e-6)
+    assert abs(float(m_s) - heston_call_undiscounted(P)) < 0.02
+
+
+def test_rot4_pallas_matches_scan():
+    """rot=4 (quarter-turn rotation sampling): golden == kernel."""
+    from nmch_tpu.ops.fe import fe_moments_rot_scan
+    n_paths, N = 1024, 32
+    k0, k1 = split_seed(7)
+    m_s, m2_s = jax.jit(fe_moments_rot_scan,
+                        static_argnums=(1, 6, 7))(
+        P.as_array(), N, path_index_grid(n_paths), jnp.uint32(0), k0, k1,
+        "philox", 4)
+    sw = jnp.stack([jnp.uint32(k0), jnp.uint32(k1)])
+    m_p, m2_p = fe_moments_pallas(P.as_array(), sw, jnp.uint32(0),
+                                  jnp.uint32(0), N=N, n_paths=n_paths,
+                                  rot=4, interpret=True)
+    assert float(m_p) == pytest.approx(float(m_s), rel=1e-6)
+    assert float(m2_p) == pytest.approx(float(m2_s), rel=1e-6)
+
+
+def test_rot4_reduces_variance_vs_iid():
+    """A rot-4 group mean must beat 4x iid paths on CI error — the
+    property that makes counting rotated copies as simulated paths
+    statistically honest (they're worth >= their count in variance)."""
+    from nmch_tpu.ops.fe import fe_moments_rot_scan
+    n_groups, N = 16384, 100
+    k0, k1 = split_seed(1234)
+    m_r, m2_r = jax.jit(fe_moments_rot_scan, static_argnums=(1, 6, 7))(
+        P.as_array(), N, path_index_grid(n_groups), jnp.uint32(0), k0, k1,
+        "philox", 4)
+    rot = SimResult(float(m_r), float(m2_r), n_groups)
+    m_i, m2_i = _scan_moments(P, 4 * n_groups, N)
+    iid = SimResult(m_i, m2_i, 4 * n_groups)
+    assert rot.ci_error < iid.ci_error
+    oracle = heston_call_undiscounted(P)
+    assert abs(rot.price - oracle) < 3 * rot.ci_error + 2e-3
+
+
 def test_threefry_engine_parity_and_price():
     """rng='threefry': golden scan == pallas kernel; price within CI."""
     n_paths, N = 2048, 64
