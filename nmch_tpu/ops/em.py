@@ -43,9 +43,11 @@ from .sampling import (
 from .fe import path_index_grid  # re-exported layout helper
 
 
-def em_terminal_core(params_vec, N: int, path_lo, path_hi, epoch, k0, k1,
-                     rng: str = "philox"):
-    """Simulate the exact scheme; returns (S_T, v_T, vI, final_ctr).
+def em_path_law(params_vec, N: int, path_lo, path_hi, epoch, k0, k1,
+                rng: str = "philox"):
+    """Simulate the exact variance path; returns (m, sig_eff, v_T, vI,
+    final_ctr) — the conditional law of ln S_T given the variance path:
+    ln S_T ~ N(m, sig_eff^2)  (reference ``NMCH_EM.cu:116-124``).
 
     Shared verbatim by the golden engine and the Pallas kernels.
     params_vec may be a flat f32[8] (scalar parameters) or a sequence of
@@ -88,17 +90,66 @@ def em_terminal_core(params_vec, N: int, path_lo, path_hi, epoch, k0, k1,
     Vt, vI, ctr = lax.fori_loop(0, N, step, (v0, vI0, ctr0))
     vI = vI * (dt * np.float32(0.5))
 
-    # terminal draw (one more block per path)
-    from .sampling import make_lane_draw4
-    w0, w1, _, _ = make_lane_draw4(rng)(ctr, ep, path_lo, path_hi, k0, k1)
-    g, _ = boxmuller(uniform_open01(w0), uniform_open01(w1))
-    ctr = ctr + jnp.uint32(1)
-
     m = (jnp.log(S_0) + r * T - np.float32(0.5) * vI
          + (rho / sigma) * (Vt - v_0 - k * theta * T + k * vI))
     sig_eff = jnp.sqrt((np.float32(1.0) - rho * rho) * vI)
+    return m, sig_eff, Vt, vI, ctr
+
+
+def em_terminal_core(params_vec, N: int, path_lo, path_hi, epoch, k0, k1,
+                     rng: str = "philox"):
+    """Simulate the exact scheme; returns (S_T, v_T, vI, final_ctr)."""
+    m, sig_eff, Vt, vI, ctr = em_path_law(params_vec, N, path_lo, path_hi,
+                                          epoch, k0, k1, rng=rng)
+    # terminal draw (one more block per path)
+    from .sampling import make_lane_draw4
+    w0, w1, _, _ = make_lane_draw4(rng)(ctr, ep_u32(epoch), path_lo,
+                                        path_hi, k0, k1)
+    g, _ = boxmuller(uniform_open01(w0), uniform_open01(w1))
+    ctr = ctr + jnp.uint32(1)
     S_T = jnp.exp(m + sig_eff * g)
     return S_T, Vt, vI, ctr
+
+
+def ep_u32(epoch):
+    return jnp.asarray(epoch, dtype=jnp.uint32)
+
+
+_AS_P = np.float32(0.2316419)
+_AS_B = tuple(np.float32(b) for b in
+              (0.319381530, -0.356563782, 1.781477937,
+               -1.821255978, 1.330274429))
+_INV_SQRT_2PI = np.float32(0.3989422804014327)
+
+
+def norm_cdf_vec(x):
+    """Vectorized Abramowitz–Stegun 7.1.26 normal CDF (same constants
+    as the reference's ``nmch::utils::NP``, utils.cu:5-25), branch-free
+    for VPU/Mosaic.  Max abs error ~7.5e-8."""
+    ax = jnp.abs(x)
+    t = np.float32(1.0) / (np.float32(1.0) + _AS_P * ax)
+    poly = _AS_B[4]
+    for b in _AS_B[-2::-1]:
+        poly = poly * t + b
+    poly = poly * t
+    phi = _INV_SQRT_2PI * jnp.exp(np.float32(-0.5) * ax * ax)
+    nd = np.float32(1.0) - phi * poly
+    return jnp.where(x >= np.float32(0.0), nd, np.float32(1.0) - nd)
+
+
+def em_conditional_payoff(m, sig_eff, K):
+    """E[(S_T - K)^+ | variance path] in closed form (conditional
+    Monte Carlo): given the EM scheme's exact conditional law
+    ln S_T ~ N(m, s^2), the payoff expectation is the Black–Scholes
+    formula  e^{m+s^2/2} Phi(s - d) - K Phi(-d),  d = (ln K - m)/s.
+
+    This *removes all terminal-draw noise* — a variance-reduction
+    capability beyond the CUDA reference (which always samples S_T,
+    ``NMCH_EM.cu:122-124``); measured CI shrink in RESULTS.md."""
+    s = jnp.maximum(sig_eff, np.float32(1e-12))
+    d = (jnp.log(K) - m) / s
+    return (jnp.exp(m + np.float32(0.5) * s * s) * norm_cdf_vec(s - d)
+            - K * norm_cdf_vec(-d))
 
 
 def em_terminal(params_vec, N: int, path_idx, epoch, k0, k1,
@@ -112,10 +163,21 @@ def em_terminal(params_vec, N: int, path_idx, epoch, k0, k1,
 
 
 def em_moments_scan(params_vec, N: int, path_idx, epoch, k0, k1,
-                    rng: str = "philox"):
-    """Golden engine: (E[X], E[X^2]) with X = (S_T - K)^+, K = S_0."""
-    S_T, _ = em_terminal(params_vec, N, path_idx, epoch, k0, k1, rng=rng)
+                    rng: str = "philox", conditional: bool = False):
+    """Golden engine: (E[X], E[X^2]) with X = (S_T - K)^+, K = S_0.
+
+    conditional=True: X = E[(S_T - K)^+ | variance path] (conditional
+    Monte Carlo, em_conditional_payoff) — same mean, strictly smaller
+    variance, one fewer draw per path."""
     K = params_vec[1]
-    payoff = jnp.maximum(S_T - K, 0.0)
+    if conditional:
+        path_lo = path_idx.astype(jnp.uint32)
+        m, sig_eff, _, _, _ = em_path_law(
+            params_vec, N, path_lo, jnp.zeros_like(path_lo), epoch, k0, k1,
+            rng=rng)
+        payoff = em_conditional_payoff(m, sig_eff, K)
+    else:
+        S_T, _ = em_terminal(params_vec, N, path_idx, epoch, k0, k1, rng=rng)
+        payoff = jnp.maximum(S_T - K, 0.0)
     n = jnp.float32(payoff.size)
     return jnp.sum(payoff) / n, jnp.sum(payoff * payoff) / n

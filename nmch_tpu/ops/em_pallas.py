@@ -26,14 +26,14 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .em import em_terminal_core
-from .fe_pallas import _pick_tile_rows
+from .em import em_terminal_core, em_path_law, em_conditional_payoff
+from .fe_pallas import _pick_tile_rows, _kahan_add
 
 LANES = 128
 
 
-def _em_kernel(pv_ref, sc_ref, sum_ref, sumsq_ref, *, N: int, rows: int,
-               rng: str = "philox"):
+def _em_kernel(pv_ref, sc_ref, sum_ref, sumsq_ref, comp_ref, *, N: int,
+               rows: int, rng: str = "philox", conditional: bool = False):
     """One grid program simulates a (rows, 128) tile of EM paths.
 
     pv_ref: SMEM f32[8]  — (T, S_0, v_0, r, k, rho, theta, sigma)
@@ -51,10 +51,14 @@ def _em_kernel(pv_ref, sc_ref, sum_ref, sumsq_ref, *, N: int, rows: int,
     path_hi = jnp.zeros_like(path_lo)
 
     pv = jnp.stack([pv_ref[j] for j in range(8)])
-    S_T, _, _, _ = em_terminal_core(pv, N, path_lo, path_hi, epoch, k0, k1,
-                                    rng=rng)
-
-    payoff = jnp.maximum(S_T - pv_ref[1], 0.0)   # ATM strike K = S_0
+    if conditional:
+        m, sig_eff, _, _, _ = em_path_law(pv, N, path_lo, path_hi, epoch,
+                                          k0, k1, rng=rng)
+        payoff = em_conditional_payoff(m, sig_eff, pv_ref[1])
+    else:
+        S_T, _, _, _ = em_terminal_core(pv, N, path_lo, path_hi, epoch,
+                                        k0, k1, rng=rng)
+        payoff = jnp.maximum(S_T - pv_ref[1], 0.0)   # ATM strike K = S_0
     tile_sum = jnp.sum(payoff)
     tile_sumsq = jnp.sum(payoff * payoff)
 
@@ -62,18 +66,21 @@ def _em_kernel(pv_ref, sc_ref, sum_ref, sumsq_ref, *, N: int, rows: int,
     def _():
         sum_ref[0, 0] = 0.0
         sumsq_ref[0, 0] = 0.0
+        comp_ref[0] = 0.0
+        comp_ref[1] = 0.0
 
-    sum_ref[0, 0] += tile_sum
-    sumsq_ref[0, 0] += tile_sumsq
+    _kahan_add(sum_ref, comp_ref, 0, tile_sum)
+    _kahan_add(sumsq_ref, comp_ref, 1, tile_sumsq)
 
 
 
 
 @functools.partial(jax.jit, static_argnames=("N", "n_paths", "tile_rows",
-                                             "interpret", "rng"))
+                                             "interpret", "rng", "conditional"))
 def em_moments_pallas(params_vec, seed_words, epoch, base_path, *,
                       N: int, n_paths: int, tile_rows: int | None = None,
-                      interpret: bool = False, rng: str = "philox"):
+                      interpret: bool = False, rng: str = "philox",
+                      conditional: bool = False):
     """(E[X], E[X^2]) over n_paths exact-scheme paths.
 
     rng: "philox" (default, curand-family parity) or "threefry4" (the
@@ -97,7 +104,8 @@ def em_moments_pallas(params_vec, seed_words, epoch, base_path, *,
         jnp.asarray(base_path, jnp.uint32),
     ])
 
-    kern = functools.partial(_em_kernel, N=N, rows=rows, rng=rng)
+    kern = functools.partial(_em_kernel, N=N, rows=rows, rng=rng,
+                             conditional=conditional)
     s, s2 = pl.pallas_call(
         kern,
         grid=(grid,),
@@ -113,6 +121,7 @@ def em_moments_pallas(params_vec, seed_words, epoch, base_path, *,
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ),
+        scratch_shapes=[pltpu.SMEM((2,), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=400 * n_paths * N,
             bytes_accessed=64,

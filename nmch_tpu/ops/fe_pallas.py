@@ -43,8 +43,22 @@ from .fe import fe_step, rotation_images
 LANES = 128
 
 
-def _fe_kernel(pv_ref, sc_ref, sum_ref, sumsq_ref, *, N: int, rows: int,
-               rng: str = "philox", rot: int = 1,
+def _kahan_add(acc_ref, comp_ref, slot: int, val):
+    """Compensated scalar accumulation across the sequential grid.
+
+    Two f32 words (sum, compensation) give ~2^-48 effective precision —
+    the TPU-native answer to SURVEY §7's f64-accumulation hard part
+    (the VPU has no native f64; Kahan costs 4 scalar ops per tile).
+    Deterministic: the grid is sequential, unlike the reference's
+    float atomicAdd (NMCH_FE.cu:74-78)."""
+    y = val - comp_ref[slot]
+    t = acc_ref[0, 0] + y
+    comp_ref[slot] = (t - acc_ref[0, 0]) - y
+    acc_ref[0, 0] = t
+
+
+def _fe_kernel(pv_ref, sc_ref, sum_ref, sumsq_ref, comp_ref, *, N: int,
+               rows: int, rng: str = "philox", rot: int = 1,
                box: str = "hc", unroll: int = 1):
     """One grid program simulates a (rows, 128) tile of paths.
 
@@ -173,14 +187,16 @@ def _fe_kernel(pv_ref, sc_ref, sum_ref, sumsq_ref, *, N: int, rows: int,
     tile_sum = jnp.sum(payoff)
     tile_sumsq = jnp.sum(payoff * payoff)
 
-    # deterministic cross-tile accumulation (grid runs sequentially)
+    # deterministic compensated accumulation (grid runs sequentially)
     @pl.when(i == 0)
     def _():
         sum_ref[0, 0] = 0.0
         sumsq_ref[0, 0] = 0.0
+        comp_ref[0] = 0.0
+        comp_ref[1] = 0.0
 
-    sum_ref[0, 0] += tile_sum
-    sumsq_ref[0, 0] += tile_sumsq
+    _kahan_add(sum_ref, comp_ref, 0, tile_sum)
+    _kahan_add(sumsq_ref, comp_ref, 1, tile_sumsq)
 
 
 def _pick_tile_rows(total_rows: int, target: int = 128) -> int:
@@ -270,6 +286,7 @@ def fe_moments_pallas(params_vec, seed_words, epoch, base_path, *,
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ),
+        scratch_shapes=[pltpu.SMEM((2,), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=15 * n_paths * N,
             bytes_accessed=64,

@@ -126,3 +126,48 @@ def test_em_threefry4_method_api():
     m.init(7)
     res = m.compute()
     assert 0.05 < res.price < 0.25
+
+
+def test_em_conditional_reduces_ci_and_matches_oracle():
+    """Conditional MC: same mean (within CI), strictly smaller CI."""
+    from nmch_tpu.ops.em import em_moments_scan
+    from nmch_tpu.ops.fe import path_index_grid
+    from nmch_tpu.results import SimResult
+    from nmch_tpu.oracle import heston_call_undiscounted
+    import jax
+    n_paths, N = 8192, 16
+    k0, k1 = split_seed(1234)
+    fn = jax.jit(em_moments_scan, static_argnums=(1, 6, 7))
+    mc, m2c = fn(P.as_array(), N, path_index_grid(n_paths), jnp.uint32(0),
+                 k0, k1, "philox", True)
+    mp, m2p = fn(P.as_array(), N, path_index_grid(n_paths), jnp.uint32(0),
+                 k0, k1, "philox", False)
+    cond = SimResult(float(mc), float(m2c), n_paths)
+    plain = SimResult(float(mp), float(m2p), n_paths)
+    assert cond.ci_error < 0.7 * plain.ci_error
+    oracle = heston_call_undiscounted(P)
+    assert abs(cond.price - oracle) < 3 * cond.ci_error + 2e-3
+
+
+def test_em_conditional_pallas_matches_scan():
+    from nmch_tpu.ops.em import em_moments_scan
+    from nmch_tpu.ops.fe import path_index_grid
+    import jax
+    n_paths, N = 2048, 8
+    k0, k1 = split_seed(7)
+    m_s, _ = jax.jit(em_moments_scan, static_argnums=(1, 6, 7))(
+        P.as_array(), N, path_index_grid(n_paths), jnp.uint32(0), k0, k1,
+        "philox", True)
+    sw = jnp.stack([jnp.uint32(k0), jnp.uint32(k1)])
+    m_p, _ = em_moments_pallas(P.as_array(), sw, jnp.uint32(0),
+                               jnp.uint32(0), N=N, n_paths=n_paths,
+                               conditional=True, interpret=True)
+    assert float(m_p) == pytest.approx(float(m_s), rel=1e-6)
+
+
+def test_em_conditional_method_api():
+    m = NMCH_EM(SimConfig(NTPB=512, NB=4, N=16), P, engine="scan",
+                conditional=True)
+    m.init(7)
+    res = m.compute()
+    assert 0.08 < res.price < 0.16

@@ -227,3 +227,23 @@ def test_threefry_engine_parity_and_price():
     assert float(m_s) != float(m_ph)
     from nmch_tpu.oracle import heston_call_undiscounted
     assert abs(float(m_s) - heston_call_undiscounted(P)) < 0.02
+
+
+def test_kahan_grid_accumulation_matches_f64():
+    """Cross-tile compensated accumulation: the kernel's grid sum must
+    match a float64 reference sum of the same payoffs to ~1e-7 relative
+    at 2^20 paths (SURVEY §7 hard part 3; plain f32 running sums drift
+    an order of magnitude more across 256 tiles)."""
+    n_paths, N = 1 << 20, 4
+    k0, k1 = split_seed(99)
+    S_T, _ = jax.jit(fe_terminal, static_argnums=1)(
+        P.as_array(), N, path_index_grid(n_paths), jnp.uint32(0), k0, k1)
+    pay = np.asarray(jnp.maximum(S_T - P.S_0, 0.0), np.float64)
+    ref_m = pay.sum() / n_paths
+    ref_m2 = (pay * pay).sum() / n_paths
+    sw = jnp.stack([jnp.uint32(k0), jnp.uint32(k1)])
+    m, m2 = fe_moments_pallas(P.as_array(), sw, jnp.uint32(0),
+                              jnp.uint32(0), N=N, n_paths=n_paths,
+                              tile_rows=32, interpret=True)
+    assert abs(float(m) - ref_m) < 2e-7 * abs(ref_m)
+    assert abs(float(m2) - ref_m2) < 2e-7 * abs(ref_m2)
