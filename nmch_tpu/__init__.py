@@ -22,12 +22,13 @@ from .results import SimResult, reference_err, correct_ci_error
 from .methods.base import NMCH
 from .methods.fe import NMCH_FE
 from .methods.em import NMCH_EM
+from .utils.prewarm import prewarm
 
 __version__ = "0.1.0"
 
 __all__ = [
     "HestonParams", "SimConfig", "DEFAULT_PARAMS", "DEFAULT_CONFIG",
     "SimResult", "reference_err", "correct_ci_error",
-    "NMCH", "NMCH_FE", "NMCH_EM",
+    "NMCH", "NMCH_FE", "NMCH_EM", "prewarm",
     "__version__",
 ]

@@ -113,12 +113,18 @@ def _fe_kernel(pv_ref, sc_ref, sum_ref, sumsq_ref, comp_ref, *, N: int,
     n_blocks = (N + 1) // 2
     # unroll U counter blocks (2U steps) per fori iteration; draws and
     # their consumption order are identical to U=1, so the bitwise
-    # golden==kernel contract is unaffected.  unroll=0: auto (largest
-    # power of two <= 8 dividing n_blocks — measured best on v5e).
+    # golden==kernel contract is unaffected.  unroll=0: auto — largest
+    # power of two <= 8 dividing n_blocks for the hardware PRNG
+    # (measured +3% on v5e), but 1 for the counter-based rngs: their
+    # inlined round ladders already dominate Mosaic's compile time
+    # (~80-200 s for philox), and unrolling multiplies the body size
+    # for no measured runtime gain.
     if unroll:
         U = unroll if n_blocks % unroll == 0 else 1
-    else:
+    elif rng == "tpu":
         U = max(u for u in (8, 4, 2, 1) if n_blocks % u == 0)
+    else:
+        U = 1
     n_iters = n_blocks // U
 
     def draw_block(bi):

@@ -1,0 +1,47 @@
+"""One-time Mosaic warm-up for the counter-based RNG kernels.
+
+Measured finding (round 2, benchmarks/RESULTS.md "Compile times"):
+the 80-200 s "per-shape" philox compile reported in round 1 is really
+a one-time per-process cost — the FIRST Mosaic compile of the
+mulhilo-heavy kernel family pays ~35-130 s (size-dependent), after
+which ANY new (N, n_paths, tile) shape of the same family compiles in
+<1 s.  So a tiny warm-up kernel absorbs the whole cost:
+
+    import nmch_tpu; nmch_tpu.prewarm("philox")   # ~35 s, once
+    ... every later philox shape compiles in ~1 s ...
+
+``block=False`` runs the warm-up on a daemon thread so it overlaps
+application setup (JAX compilation is thread-safe; the first real
+compute simply waits if it arrives before the warm-up finishes).
+"""
+
+from __future__ import annotations
+
+import threading
+
+import jax
+import jax.numpy as jnp
+
+
+def prewarm(rng: str = "philox", block: bool = True):
+    """Compile a tiny FE kernel of the given rng family (256 paths x
+    N=4) so later real-shape compiles are ~1 s.  Returns the Thread
+    when block=False, else None."""
+    def _go():
+        from ..params import HestonParams
+        from ..rng.philox import split_seed
+        from ..ops.fe_pallas import fe_moments_pallas
+        k0, k1 = split_seed(0)
+        sw = jnp.stack([jnp.uint32(k0), jnp.uint32(k1)])
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        m, m2 = fe_moments_pallas(
+            HestonParams().as_array(), sw, jnp.uint32(0), jnp.uint32(0),
+            N=4, n_paths=256, rng=rng, interpret=not on_tpu)
+        jax.device_get((m, m2))
+
+    if block:
+        _go()
+        return None
+    t = threading.Thread(target=_go, daemon=True, name=f"prewarm-{rng}")
+    t.start()
+    return t

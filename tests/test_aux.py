@@ -74,3 +74,13 @@ def test_pallas_engine_deterministic_across_runs():
     m2.init(99)
     p2 = m2.compute().price
     assert p1 == p2                    # bitwise equal, not approx
+
+
+def test_prewarm_compiles_tiny_kernel():
+    """prewarm() must run the tiny warm-up kernel (interpret on CPU)
+    in both blocking and threaded modes."""
+    import nmch_tpu
+    assert nmch_tpu.prewarm("philox") is None
+    t = nmch_tpu.prewarm("threefry4", block=False)
+    t.join(timeout=120)
+    assert not t.is_alive()
