@@ -46,7 +46,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=1234, help="RNG seed")
     p.add_argument("--method", choices=["fe", "em"], default="fe")
     # TPU-native extensions
-    p.add_argument("--engine", choices=["pallas", "scan"], default="pallas")
+    p.add_argument("--engine", choices=["pallas", "scan", "qmc"],
+               default="pallas",
+               help="qmc = scrambled-Sobol + Brownian bridge (FE only; error ~ n^-0.8)")
     p.add_argument("--rng", choices=["philox", "threefry", "threefry4", "tpu"],
                    default="philox")
     p.add_argument("--antithetic", action="store_true",

@@ -37,6 +37,7 @@ from ..ops.fe import (
     fe_moments_scan, fe_moments_rot_scan, path_index_grid,
 )
 from ..ops.fe_pallas import fe_moments_pallas
+from ..ops.fe_qmc import fe_moments_qmc
 from ..utils.timing import Timer
 from .base import NMCH
 
@@ -62,8 +63,17 @@ class NMCH_FE(NMCH):
         group consumes one plain path's randomness and simulates rot
         paths."""
         super().__init__(cfg, params)
-        if engine not in ("pallas", "scan"):
+        if engine not in ("pallas", "scan", "qmc"):
             raise ValueError(f"unknown engine {engine!r}")
+        if engine == "qmc":
+            if rot not in (None, 1) or antithetic:
+                raise ValueError("engine='qmc' has no rot/antithetic "
+                                 "variants (the point set is already "
+                                 "variance-optimal)")
+            if rng != "philox":
+                raise ValueError("engine='qmc' uses Sobol' points with "
+                                 "Philox digital shifts; rng must stay "
+                                 "'philox'")
         if rng not in ("philox", "threefry", "threefry4", "tpu"):
             raise ValueError(f"unknown rng {rng!r}")
         if rng == "tpu" and engine != "pallas":
@@ -100,6 +110,9 @@ class NMCH_FE(NMCH):
     def _moments(self, epoch: int):
         pv = self.params.as_array()
         k0, k1 = self.streams.key_words
+        if self.engine == "qmc":
+            return fe_moments_qmc(pv, jnp.uint32(epoch), k0, k1,
+                                  N=self.cfg.N, n_paths=self.cfg.n_paths)
         if self.engine == "pallas":
             sw = jnp.stack([jnp.uint32(k0), jnp.uint32(k1)])
             return fe_moments_pallas(

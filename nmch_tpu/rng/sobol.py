@@ -1,0 +1,95 @@
+"""Sobol' low-discrepancy sequences with digital-shift scrambling.
+
+The quasi-Monte Carlo engine's point generator (ops/fe_qmc.py).  The
+CUDA reference is plain pseudo-random MC; QMC is a rebuild-mandate
+capability: with Brownian-bridge ordering the integration error decays
+~n^-0.8 instead of n^-0.5 (measured in benchmarks/RESULTS.md).
+
+Construction (Joe–Kuo direction numbers, via scipy.stats.qmc's table):
+
+    x_{i,j} = XOR_b gray(i)_b * V[j, b],   u = (x ^ shift_j + 0.5) / 2^30
+
+* gray(i) = i ^ (i >> 1) makes consecutive points differ by one
+  direction number; we evaluate the XOR form directly (30 select-XORs
+  per dimension, vectorized over points AND over the dimensions of a
+  Brownian-bridge level — see ops/fe_qmc.py).
+* ``shift_j`` is a per-dimension digital shift drawn from the same
+  Philox streams as everything else, keyed by (seed, epoch):
+  digitally-shifted Sobol' is an *unbiased* estimator, and epochs give
+  the independent randomizations whose spread yields a valid CI
+  (randomized QMC).  The +0.5/2^30 offset keeps u in (0, 1) strictly —
+  point 0 of the raw sequence is the origin, which would send the
+  inverse normal CDF to -inf.
+
+Validated bit-for-bit against scipy.stats.qmc.Sobol(scramble=False)
+in tests/test_qmc.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from .philox import philox4x32
+
+BITS = 30
+_INV = np.float32(2.0 ** -BITS)
+_MASK = np.uint32((1 << BITS) - 1)
+
+
+def direction_numbers(d: int) -> np.ndarray:
+    """(d, 30) uint32 Joe–Kuo direction numbers from scipy's table."""
+    from scipy.stats import qmc
+    s = qmc.Sobol(d=d, scramble=False)
+    sv = getattr(s, "_sv", None)
+    if sv is None:  # scipy internals moved — fail loudly, not wrongly
+        raise RuntimeError("scipy.stats.qmc.Sobol no longer exposes _sv; "
+                           "update nmch_tpu.rng.sobol.direction_numbers")
+    return np.ascontiguousarray(sv[:, :BITS], dtype=np.uint32)
+
+
+def gray_codes(n: int, base: int = 0):
+    """Gray codes of point indices base..base+n-1 as a (n,) uint32."""
+    i = jnp.arange(base, base + n, dtype=jnp.uint32)
+    return i ^ (i >> np.uint32(1))
+
+
+def sobol_dims_u32(gray, v_block):
+    """Raw Sobol' words for a block of dimensions at the given points.
+
+    gray: (n,) uint32 Gray codes; v_block: (L, 30) uint32 direction
+    numbers for L dimensions.  Returns (L, n) uint32 — 30 select-XORs
+    total, shared across the L dimensions (vectorized broadcast).
+    """
+    v = jnp.asarray(v_block, jnp.uint32)
+    L = v.shape[0]
+    x = jnp.zeros((L, gray.shape[0]), jnp.uint32)
+    for b in range(BITS):
+        bit = (gray >> np.uint32(b)) & np.uint32(1)
+        x = x ^ (bit[None, :] * v[:, b][:, None])
+    return x
+
+
+def digital_shifts(dim_idx, epoch, k0, k1):
+    """Per-dimension 30-bit digital shifts from the (seed, epoch)
+    Philox streams (dimension index as the counter word)."""
+    d = jnp.asarray(dim_idx, jnp.uint32)
+    # counter word 2 = ASCII "SOBL": a reserved stream plane that the
+    # path simulation never touches (paths use plane path_hi = 0)
+    w0, _, _, _ = philox4x32(d, jnp.asarray(epoch, jnp.uint32),
+                             jnp.zeros_like(d) + np.uint32(0x534F424C),
+                             jnp.zeros_like(d), k0, k1)
+    return w0 & _MASK
+
+
+def u01_from_words(x):
+    """uint32 Sobol' words (< 2^30) -> float32 uniforms in (0, 1).
+
+    Only the top 23 bits reach the float (float32 cannot represent
+    30-bit integers exactly — keeping them all rounds the largest
+    words to u == 1.0, which the inverse CDF maps to +inf).  The
+    center offset +0.5/2^23 keeps u in [2^-24, 1 - 2^-24].
+    """
+    t = (x >> np.uint32(BITS - 23)).astype(jnp.float32)
+    return (t + np.float32(0.5)) * np.float32(2.0 ** -23)
