@@ -156,3 +156,39 @@ def test_threefry_draw4_stream_stats():
     # ~2 birthday collisions; a broken generator would show thousands)
     allw = np.concatenate([np.asarray(x) for x in w])
     assert len(np.unique(allw)) >= len(allw) - 8
+
+
+def test_half_circle_normal_pair_distribution():
+    """normal_pair_hc (the kernels' fast path): exact N(0,1) moments,
+    tails, and independence."""
+    from nmch_tpu.rng.normal import normal_pair_hc
+    rng = np.random.default_rng(0)
+    w = rng.integers(0, 2**32, size=(2, 1 << 21), dtype=np.uint32)
+    g1, g2 = normal_pair_hc(jnp.asarray(w[0]), jnp.asarray(w[1]))
+    g1 = np.asarray(g1, np.float64)
+    g2 = np.asarray(g2, np.float64)
+    n = g1.size
+    for g in (g1, g2):
+        assert abs(g.mean()) < 4 / np.sqrt(n)
+        assert abs(g.std() - 1) < 4e-3
+        assert abs((g ** 4).mean() - 3) < 0.05          # kurtosis
+        assert abs((np.abs(g) > 3).mean() - 0.0027) < 3e-4
+    assert abs(np.corrcoef(g1, g2)[0, 1]) < 4 / np.sqrt(n)
+
+
+def test_neg2log_fast_path_accuracy():
+    """bits-level -2 ln u: full f32 relative accuracy on the radius."""
+    from nmch_tpu.rng.normal import neg2log, uniform_open01
+    rng = np.random.default_rng(1)
+    w = rng.integers(0, 2**32, size=1 << 20, dtype=np.uint32)
+    u = np.asarray(uniform_open01(jnp.asarray(w)))
+    q = np.asarray(neg2log(jnp.asarray(u)), np.float64)
+    qt = -2 * np.log(u.astype(np.float64))
+    assert (q >= 0).all()
+    r, rt = np.sqrt(q), np.sqrt(qt)
+    # radius: relative accuracy away from u -> 1 (there the exact
+    # e*ln2 + ln m split cancels and f32 rounding dominates; the
+    # absolute error stays bounded and the affected normals are ~0)
+    big = rt > 0.5
+    assert np.abs((r[big] - rt[big]) / rt[big]).max() < 3e-6
+    assert np.abs(r - rt).max() < 2e-3
