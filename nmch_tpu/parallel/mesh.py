@@ -44,7 +44,8 @@ def make_mesh(devices=None, axis_name: str = PATH_AXIS) -> Mesh:
 def sharded_moments(mesh: Mesh, params_vec, seed: int, epoch, *,
                     N: int, n_paths: int, method: str = "fe",
                     engine: str = "pallas", interpret: bool = False,
-                    rng: str = "philox"):
+                    rng: str = "philox", rot: int = 1,
+                    conditional: bool = False):
     """(E[X], E[X^2]) over n_paths sharded across the mesh's path axis.
 
     Every chip simulates n_paths/n_chips paths whose stream indices are
@@ -63,6 +64,10 @@ def sharded_moments(mesh: Mesh, params_vec, seed: int, epoch, *,
                          "counter streams)")
     if method == "fe" and engine == "scan" and rng == "tpu":
         raise ValueError("rng='tpu' requires engine='pallas'")
+    if method == "em" and rot != 1:
+        raise ValueError("rot is FE-only")
+    if method == "fe" and conditional:
+        raise ValueError("conditional is EM-only")
     per_chip = n_paths // n_dev
     from ..rng.philox import split_seed
     k0, k1 = split_seed(seed)
@@ -75,19 +80,24 @@ def sharded_moments(mesh: Mesh, params_vec, seed: int, epoch, *,
             if method == "fe":
                 m, m2 = fe_moments_pallas(pv, sw, ep, base, N=N,
                                           n_paths=per_chip, rng=rng,
-                                          interpret=interpret)
+                                          rot=rot, interpret=interpret)
             else:
                 m, m2 = em_moments_pallas(pv, sw, ep, base, N=N,
                                           n_paths=per_chip, rng=rng,
+                                          conditional=conditional,
                                           interpret=interpret)
         else:
             pidx = path_index_grid(per_chip) + base
-            if method == "fe":
+            if method == "fe" and rot > 1:
+                from ..ops.fe import fe_moments_rot_scan
+                m, m2 = fe_moments_rot_scan(pv, N, pidx, ep, sw[0], sw[1],
+                                            rng=rng, rot=rot)
+            elif method == "fe":
                 m, m2 = fe_moments_scan(pv, N, pidx, ep, sw[0], sw[1],
                                         rng=rng)
             else:
                 m, m2 = em_moments_scan(pv, N, pidx, ep, sw[0], sw[1],
-                                        rng=rng)
+                                        rng=rng, conditional=conditional)
         # per-chip means -> global means (equal shard sizes)
         nd = jnp.float32(n_dev)
         return (jax.lax.psum(m, PATH_AXIS) / nd,

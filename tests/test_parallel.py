@@ -109,3 +109,31 @@ def test_sharded_em_pallas_interpret(mesh8):
                             engine="pallas", interpret=True)
     m1, _ = _single("em", 2048, 8)
     assert float(m8) == pytest.approx(m1, rel=2e-6)
+
+
+def test_sharded_rot4_matches_single(mesh8):
+    """The headline rot=4 config under shard_map reproduces the
+    single-device rot=4 run (pallas interpret + scan)."""
+    from nmch_tpu.ops.fe import fe_moments_rot_scan
+    k0, k1 = split_seed(1234)
+    m1, _ = jax.jit(fe_moments_rot_scan, static_argnums=(1, 6, 7))(
+        P.as_array(), 16, path_index_grid(4096), jnp.uint32(0), k0, k1,
+        "philox", 4)
+    for engine in ("scan", "pallas"):
+        m8, _ = sharded_moments(mesh8, P.as_array(), seed=1234, epoch=0,
+                                N=16, n_paths=4096, method="fe",
+                                engine=engine, rot=4, interpret=True)
+        assert float(m8) == pytest.approx(float(m1), rel=2e-6), engine
+
+
+def test_sharded_em_conditional_matches_single(mesh8):
+    from nmch_tpu.ops.em import em_moments_scan
+    k0, k1 = split_seed(1234)
+    m1, _ = jax.jit(em_moments_scan, static_argnums=(1, 6, 7))(
+        P.as_array(), 8, path_index_grid(2048), jnp.uint32(0), k0, k1,
+        "philox", True)
+    m8, _ = sharded_moments(mesh8, P.as_array(), seed=1234, epoch=0,
+                            N=8, n_paths=2048, method="em",
+                            engine="pallas", conditional=True,
+                            interpret=True)
+    assert float(m8) == pytest.approx(float(m1), rel=2e-6)
