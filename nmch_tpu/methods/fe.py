@@ -56,8 +56,8 @@ class NMCH_FE(NMCH):
                  engine: str = "pallas", rng: str = "philox",
                  antithetic: bool = False, rot: int | None = None,
                  interpret: bool | None = None):
-        """rot in {1, 2, 4}: rotation-coupled copies per lane (variance
-        reduction beyond the reference, ops/fe.py::rotate_pair).
+        """rot in {1, 2, 4, 8}: rotation-coupled copies per lane (variance
+        reduction beyond the reference, ops/fe.py::rotation_images).
         rot=2 == antithetic=True (a +/-G pair per lane); rot=4 adds
         quarter-turn angle stratification.  n_paths counts GROUPS; each
         group consumes one plain path's randomness and simulates rot
@@ -81,6 +81,9 @@ class NMCH_FE(NMCH):
                              "golden scan engine is philox-only)")
         if rot is None:
             rot = 2 if antithetic else 1
+        elif antithetic and rot == 1:
+            raise ValueError("antithetic=True contradicts rot=1 "
+                             "(antithetic IS rot=2; pass one of them)")
         if rot not in (1, 2, 4, 8):
             raise ValueError(f"rot must be 1, 2, 4 or 8, got {rot}")
         self.engine = engine

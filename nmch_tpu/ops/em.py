@@ -39,6 +39,7 @@ from ..rng.philox import philox4x32
 from ..rng.normal import boxmuller, uniform_open01
 from .sampling import (
     poisson_from_stream, gamma_ms_from_stream, anchored_zeros,
+    make_lane_draw4,
 )
 from .fe import path_index_grid  # re-exported layout helper
 
@@ -102,17 +103,13 @@ def em_terminal_core(params_vec, N: int, path_lo, path_hi, epoch, k0, k1,
     m, sig_eff, Vt, vI, ctr = em_path_law(params_vec, N, path_lo, path_hi,
                                           epoch, k0, k1, rng=rng)
     # terminal draw (one more block per path)
-    from .sampling import make_lane_draw4
-    w0, w1, _, _ = make_lane_draw4(rng)(ctr, ep_u32(epoch), path_lo,
-                                        path_hi, k0, k1)
+    ep = jnp.asarray(epoch, dtype=jnp.uint32)
+    w0, w1, _, _ = make_lane_draw4(rng)(ctr, ep, path_lo, path_hi, k0, k1)
     g, _ = boxmuller(uniform_open01(w0), uniform_open01(w1))
     ctr = ctr + jnp.uint32(1)
     S_T = jnp.exp(m + sig_eff * g)
     return S_T, Vt, vI, ctr
 
-
-def ep_u32(epoch):
-    return jnp.asarray(epoch, dtype=jnp.uint32)
 
 
 _AS_P = np.float32(0.2316419)

@@ -167,10 +167,6 @@ def rotation_images(a, b, rot: int):
     return imgs[:rot]
 
 
-def rotate_pair(a, b, t: int):
-    """Variant t of rotation_images (kept for call sites that index)."""
-    return rotation_images(a, b, t + 1)[t]
-
 
 def fe_rot_block_body(j, Ss, vs, path_lo, path_hi, epoch, k0, k1,
                       r, k, theta, sigma, rho, sqrt_rho_c,
@@ -205,7 +201,7 @@ def fe_moments_rot_scan(params_vec, N: int, path_idx, epoch, k0, k1,
                         rng: str = "philox", rot: int = 2):
     """Rotation-sampling estimator (variance reduction beyond the CUDA
     reference).  Each lane simulates ``rot`` orthogonally-coupled
-    copies driven by rotate_pair of one stream's draws; the sample is
+    copies driven by rotation_images of one stream's draws; the sample is
     the group mean Y = (1/rot) sum X_t, so the returned (E[Y], E[Y^2])
     feed the standard CI formulas with n = number of groups (one group
     consumes the randomness of one plain path)."""

@@ -241,14 +241,17 @@ def fe_moments_pallas(params_vec, seed_words, epoch, base_path, *,
     base_path offsets the per-path stream indices — used by the
     multi-chip sharding so every chip owns a disjoint stream range.
 
-    rot in {1, 2, 4}: rotation-coupled copies per stream (see
-    ops/fe.py::rotate_pair) — rot=2 is antithetic variates (the
+    rot in {1, 2, 4, 8}: rotation-coupled copies per stream (see
+    ops/fe.py::rotation_images) — rot=2 is antithetic variates (the
     ``antithetic`` flag is a synonym), rot=4 adds quarter-turn angle
     stratification.  Moments are over the n_paths *group means*; the
     kernel simulates rot * n_paths paths' worth of Euler steps.
     """
     if rot is None:
         rot = 2 if antithetic else 1
+    elif antithetic and rot == 1:
+        raise ValueError("antithetic=True contradicts rot=1 "
+                         "(antithetic IS rot=2; pass one of them)")
     if rot not in (1, 2, 4, 8):
         raise ValueError(f"rot must be 1, 2, 4 or 8, got {rot}")
     if n_paths % LANES:
@@ -294,7 +297,7 @@ def fe_moments_pallas(params_vec, seed_words, epoch, base_path, *,
         ),
         scratch_shapes=[pltpu.SMEM((2,), jnp.float32)],
         cost_estimate=pl.CostEstimate(
-            flops=15 * n_paths * N,
+            flops=15 * rot * n_paths * N,
             bytes_accessed=64,
             transcendentals=3 * n_paths * N,
         ),

@@ -179,8 +179,14 @@ def fe_moments_qmc(params_vec, epoch, k0, k1, *, N: int, n_paths: int,
         means.append(_sim_payoff_mean(params_vec, N, dW1, dW2))
     means = jnp.stack(means)
     m = jnp.mean(means)
-    # synthesize m2 so that (m2 - m^2)/n_paths == var(shift means)/R,
-    # i.e. SimResult's CI formula returns the honest RQMC error
-    var_of_mean = jnp.var(means) / jnp.float32(n_shifts - 1)
+    # Synthesize m2 so SimResult's 1.96*sqrt((m2-m^2)/n) formula
+    # returns the honest RQMC 95% CI.  var(shift means)/(R-1) is the
+    # unbiased variance of the mean; with only R replicates the 95%
+    # quantile is Student-t with R-1 dof, not the normal 1.96 — the
+    # (t/z)^2 factor bakes that in (t_7 = 2.365 for the default R=8).
+    from scipy.stats import t as _t
+    t_over_z = float(_t.ppf(0.975, n_shifts - 1)) / 1.959963984540054
+    var_of_mean = jnp.var(means) * np.float32(
+        t_over_z ** 2 / (n_shifts - 1))
     m2 = m * m + var_of_mean * jnp.float32(n_paths)
     return m, m2

@@ -64,6 +64,11 @@ def sharded_moments(mesh: Mesh, params_vec, seed: int, epoch, *,
                          "counter streams)")
     if method == "fe" and engine == "scan" and rng == "tpu":
         raise ValueError("rng='tpu' requires engine='pallas'")
+    if engine not in ("pallas", "scan"):
+        raise ValueError(
+            f"unknown engine {engine!r} for sharded_moments (expected "
+            "'pallas' or 'scan'; engine='qmc' is single-controller — "
+            "call ops.fe_qmc.fe_moments_qmc directly)")
     if method == "em" and rot != 1:
         raise ValueError("rot is FE-only")
     if method == "fe" and conditional:

@@ -247,3 +247,25 @@ def test_kahan_grid_accumulation_matches_f64():
                               tile_rows=32, interpret=True)
     assert abs(float(m) - ref_m) < 2e-7 * abs(ref_m)
     assert abs(float(m2) - ref_m2) < 2e-7 * abs(ref_m2)
+
+
+@pytest.mark.parametrize("params", [
+    HestonParams(sigma=0.9, theta=0.04, k=2.0),     # violent vol-of-vol
+    HestonParams(r=0.1, v_0=0.04),                  # drift + low variance
+    HestonParams(rho=0.5, sigma=0.5),               # positive correlation
+])
+def test_rot4_conservative_across_param_regimes(params):
+    """The statistical basis of the headline metric (rot-4 copies are
+    worth >= their count) must hold beyond the default parameters."""
+    from nmch_tpu.ops.fe import fe_moments_rot_scan
+    n_groups, N = 8192, 64
+    k0, k1 = split_seed(7)
+    m_r, m2_r = jax.jit(fe_moments_rot_scan, static_argnums=(1, 6, 7))(
+        params.as_array(), N, path_index_grid(n_groups), jnp.uint32(0),
+        k0, k1, "philox", 4)
+    rot = SimResult(float(m_r), float(m2_r), n_groups)
+    m_i, m2_i = jax.jit(fe_moments_scan, static_argnums=1)(
+        params.as_array(), N, path_index_grid(4 * n_groups),
+        jnp.uint32(0), k0, k1)
+    iid = SimResult(float(m_i), float(m2_i), 4 * n_groups)
+    assert rot.ci_error < 1.05 * iid.ci_error, (rot.ci_error, iid.ci_error)
