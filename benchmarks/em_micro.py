@@ -29,6 +29,7 @@ def main() -> int:
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--variants", default=(
         "philox:0,philox:1,threefry4:0,threefry4:1"))
+    ap.add_argument("--tile", type=int, default=None)
     ap.add_argument("--csv", default=None)
     args = ap.parse_args()
 
@@ -52,7 +53,8 @@ def main() -> int:
             return em_moments_pallas(
                 params, sw, jnp.uint32(epoch), jnp.uint32(0),
                 N=args.N, n_paths=args.n_paths, rng=rng,
-                conditional=cond, interpret=not on_tpu)
+                conditional=cond, tile_rows=args.tile,
+                interpret=not on_tpu)
 
         try:
             jax.device_get(run(0))

@@ -89,9 +89,10 @@ def em_moments_pallas(params_vec, seed_words, epoch, base_path, *,
     if n_paths % LANES:
         raise ValueError(f"n_paths={n_paths} must be a multiple of {LANES}")
     total_rows = n_paths // LANES
-    # EM keeps more live state per lane than FE (sampler carries), so
-    # default tiles are half the FE size
-    rows = tile_rows or _pick_tile_rows(total_rows, target=256)
+    # EM keeps more live state per lane than FE (sampler carries);
+    # measured tile ladder at the headline config (benchmarks/RESULTS.md):
+    # 187/164/173/209 ms at 32/64/128/256 rows -> 64 is the optimum
+    rows = tile_rows or _pick_tile_rows(total_rows, target=64)
     if total_rows % rows:
         raise ValueError(f"tile_rows={rows} must divide {total_rows}")
     grid = total_rows // rows
