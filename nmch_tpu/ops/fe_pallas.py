@@ -67,10 +67,13 @@ def _fe_kernel(pv_ref, sc_ref, sum_ref, sumsq_ref, comp_ref, *, N: int,
     sum_ref/sumsq_ref: SMEM f32[1,1] — global accumulators over the grid
 
     rng="philox": counter-based streams, bitwise-identical to the golden
-    engine (the default, mirroring the reference's Philox kernels).
+    engine (the default, mirroring the reference's Philox kernels);
+    rng="threefry"/"threefry4": faster counter generators with the same
+    bitwise cross-engine parity (threefry4 is the fast reproducible
+    choice — 3.2x philox, benchmarks/RESULTS.md ladder).
     rng="tpu": the TPU core's hardware PRNG (pltpu.prng_random_bits) —
-    ~2x faster (measured 20.7 vs 9.4 G path-steps/s on v5e), still
-    deterministic per (seed, epoch, tile), but its bitstream is
+    the fastest engine (56.6 G at rot=1, 120+ G at rot=4 on v5e),
+    still deterministic per (seed, epoch, tile), but its bitstream is
     hardware-defined, so no cross-engine bitwise parity.
     """
     i = pl.program_id(0)

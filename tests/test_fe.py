@@ -269,3 +269,20 @@ def test_rot4_conservative_across_param_regimes(params):
         jnp.uint32(0), k0, k1)
     iid = SimResult(float(m_i), float(m2_i), 4 * n_groups)
     assert rot.ci_error < 1.05 * iid.ci_error, (rot.ci_error, iid.ci_error)
+
+
+def test_threefry4_rot4_parity():
+    """The fast REPRODUCIBLE headline combo (rng=threefry4, rot=4):
+    golden scan == pallas kernel bitwise-driven."""
+    from nmch_tpu.ops.fe import fe_moments_rot_scan
+    n_paths, N = 1024, 32
+    k0, k1 = split_seed(11)
+    m_s, m2_s = jax.jit(fe_moments_rot_scan, static_argnums=(1, 6, 7))(
+        P.as_array(), N, path_index_grid(n_paths), jnp.uint32(0), k0, k1,
+        "threefry4", 4)
+    sw = jnp.stack([jnp.uint32(k0), jnp.uint32(k1)])
+    m_p, m2_p = fe_moments_pallas(P.as_array(), sw, jnp.uint32(0),
+                                  jnp.uint32(0), N=N, n_paths=n_paths,
+                                  rng="threefry4", rot=4, interpret=True)
+    assert float(m_p) == pytest.approx(float(m_s), rel=1e-6)
+    assert float(m2_p) == pytest.approx(float(m2_s), rel=1e-6)
