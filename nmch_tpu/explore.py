@@ -81,7 +81,8 @@ def grid_points():
 
 
 def sweep_batched(cfg: SimConfig, seed: int, out=sys.stdout,
-                  engine: str = "pallas", method: str = "fe"):
+                  engine: str = "pallas", method: str = "fe",
+                  rng: str = "philox", conditional: bool = False):
     """FE/EM sweep as ONE kernel launch over the whole parameter grid
     (SURVEY.md §7.8 'vmapped grid') — same CSV, amortized per-point
     time.  Each point prices at its own stream epoch."""
@@ -105,12 +106,19 @@ def sweep_batched(cfg: SimConfig, seed: int, out=sys.stdout,
             k0, k1 = split_seed(seed)
             sw = jnp.stack([jnp.uint32(k0), jnp.uint32(k1)])
             interp = jax.default_backend() not in ("tpu", "axon")
-            fn = fe_sweep_pallas if method == "fe" else em_sweep_pallas
-            return fn(pm, sw, jnp.uint32(0), N=cfg.N,
-                      n_paths=cfg.n_paths, n_points=len(pts),
-                      interpret=interp)
-        fn = fe_sweep_scan if method == "fe" else em_sweep_scan
-        return fn(pm, seed, 0, N=cfg.N, n_paths=cfg.n_paths)
+            if method == "fe":
+                return fe_sweep_pallas(pm, sw, jnp.uint32(0), N=cfg.N,
+                                       n_paths=cfg.n_paths,
+                                       n_points=len(pts), rng=rng,
+                                       interpret=interp)
+            return em_sweep_pallas(pm, sw, jnp.uint32(0), N=cfg.N,
+                                   n_paths=cfg.n_paths, n_points=len(pts),
+                                   rng=rng, conditional=conditional,
+                                   interpret=interp)
+        if method == "fe":
+            return fe_sweep_scan(pm, seed, 0, N=cfg.N, n_paths=cfg.n_paths)
+        return em_sweep_scan(pm, seed, 0, N=cfg.N, n_paths=cfg.n_paths,
+                             rng=rng, conditional=conditional)
 
     import numpy as np
     ms, m2s = run_all()                 # compile + warm-up
@@ -138,6 +146,13 @@ def run(argv=None) -> int:
     p.add_argument("--engine", choices=["pallas", "scan"], default="pallas")
     p.add_argument("--methods", default="fe,em",
                    help="comma-separated subset of fe,em")
+    p.add_argument("--rng", choices=["philox", "threefry4"],
+                   default="philox",
+                   help="batched-mode counter generator (threefry4 is "
+                        "~2x faster for EM)")
+    p.add_argument("--conditional", action="store_true",
+                   help="batched EM: closed-form conditional payoff "
+                        "(CI ~1.9x smaller at the same cost)")
     p.add_argument("--batched", action="store_true",
                    help="price the whole grid in ONE kernel launch per "
                         "method (TPU-native vmapped grid)")
@@ -158,6 +173,7 @@ def run(argv=None) -> int:
         for name in methods:
             if args.batched:
                 sweep_batched(cfg, args.seed, out, engine=args.engine,
+                              rng=args.rng, conditional=args.conditional,
                               method=name)
                 continue
             cls = NMCH_FE if name == "fe" else NMCH_EM

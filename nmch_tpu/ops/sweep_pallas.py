@@ -32,6 +32,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..rng.philox import philox4x32
+from ..rng.threefry4 import draw4_threefry4
 from ..rng.normal import normal4_from_bits
 from .fe import fe_step, fe_moments_scan, path_index_grid
 
@@ -90,6 +91,9 @@ def _fe_sweep_kernel(pv_ref, sc_ref, sum_ref, sumsq_ref, *, N: int,
         if rng == "philox":
             bits = philox4x32(jnp.full((), j, jnp.uint32), epoch,
                               path_lo, path_hi, k0, k1)
+        elif rng == "threefry4":
+            bits = draw4_threefry4(jnp.full((), j, jnp.uint32), epoch,
+                                   path_lo, k0, k1, path_hi=path_hi)
         else:
             bits = [pltpu.prng_random_bits((rows, LANES)).astype(jnp.uint32)
                     for _ in range(4)]
@@ -205,7 +209,8 @@ def fe_sweep_scan(params_matrix, seed: int, epoch0: int, *, N: int,
 
 
 def _em_sweep_kernel(pv_ref, sc_ref, sum_ref, sumsq_ref, *, N: int,
-                     rows: int):
+                     rows: int, rng: str = "philox",
+                     conditional: bool = False):
     """EM analogue of _fe_sweep_kernel: points in lanes, paths in rows.
 
     Reuses em_terminal_core with (1, 128) per-lane parameter columns and
@@ -233,10 +238,15 @@ def _em_sweep_kernel(pv_ref, sc_ref, sum_ref, sumsq_ref, *, N: int,
     path_lo = row + it.astype(jnp.uint32) * np.uint32(rows) + anchor
     path_hi = path_lo * np.uint32(0)
 
-    from .em import em_terminal_core
-    S_T, _, _, _ = em_terminal_core(params, N, path_lo, path_hi, epoch,
-                                    k0, k1)
-    payoff = jnp.maximum(S_T - params[1], 0.0)   # K = S_0
+    from .em import em_terminal_core, em_path_law, em_conditional_payoff
+    if conditional:
+        m, sig_eff, _, _, _ = em_path_law(params, N, path_lo, path_hi,
+                                          epoch, k0, k1, rng=rng)
+        payoff = em_conditional_payoff(m, sig_eff, params[1])
+    else:
+        S_T, _, _, _ = em_terminal_core(params, N, path_lo, path_hi,
+                                        epoch, k0, k1, rng=rng)
+        payoff = jnp.maximum(S_T - params[1], 0.0)   # K = S_0
 
     @pl.when(it == 0)
     def _():
@@ -248,11 +258,16 @@ def _em_sweep_kernel(pv_ref, sc_ref, sum_ref, sumsq_ref, *, N: int,
 
 
 @functools.partial(jax.jit, static_argnames=("N", "n_paths", "n_points",
-                                             "tile_rows", "interpret"))
+                                             "tile_rows", "interpret",
+                                             "rng", "conditional"))
 def em_sweep_pallas(params_matrix, seed_words, epoch0, *, N: int,
                     n_paths: int, n_points: int,
-                    tile_rows: int | None = None, interpret: bool = False):
-    """(E[X], E[X^2]) per parameter point for the EM scheme, one launch."""
+                    tile_rows: int | None = None, interpret: bool = False,
+                    rng: str = "philox", conditional: bool = False):
+    """(E[X], E[X^2]) per parameter point for the EM scheme, one launch.
+
+    rng="threefry4" and conditional=True compose with the batched
+    layout exactly as in the single-point kernel (methods/em.py)."""
     pt_tiles = -(-n_points // LANES)
     n_pad = pt_tiles * LANES
     pad = jnp.broadcast_to(params_matrix[-1:], (n_pad - n_points, 8))
@@ -274,7 +289,8 @@ def em_sweep_pallas(params_matrix, seed_words, epoch0, *, N: int,
         jnp.uint32(0),
     ])
 
-    kern = functools.partial(_em_sweep_kernel, N=N, rows=rows)
+    kern = functools.partial(_em_sweep_kernel, N=N, rows=rows, rng=rng,
+                             conditional=conditional)
     s, s2 = pl.pallas_call(
         kern,
         grid=(pt_tiles, path_tiles),
@@ -303,7 +319,8 @@ def em_sweep_pallas(params_matrix, seed_words, epoch0, *, N: int,
 
 
 def em_sweep_scan(params_matrix, seed: int, epoch0: int, *, N: int,
-                  n_paths: int):
+                  n_paths: int, rng: str = "philox",
+                  conditional: bool = False):
     """Golden batched EM sweep (vmap over rows, epoch per row)."""
     from ..rng.philox import split_seed
     from .em import em_moments_scan
@@ -311,7 +328,8 @@ def em_sweep_scan(params_matrix, seed: int, epoch0: int, *, N: int,
     pidx = jnp.arange(n_paths, dtype=jnp.uint32).reshape(n_paths, 1)
 
     def one(pv, ep):
-        return em_moments_scan(pv, N, pidx, ep, k0, k1)
+        return em_moments_scan(pv, N, pidx, ep, k0, k1, rng=rng,
+                               conditional=conditional)
 
     eps = jnp.uint32(epoch0) + jnp.arange(params_matrix.shape[0],
                                           dtype=jnp.uint32)

@@ -152,3 +152,17 @@ def test_explore_batched_em_csv(tmp_path):
     lines = out.read_text().splitlines()
     assert len(lines) > 50
     assert all(l.startswith("em,") for l in lines[1:])
+
+
+def test_explore_batched_em_conditional_threefry4(capsys):
+    """Batched EM sweep composes with the round-2 fast paths."""
+    from nmch_tpu.explore import run
+    rc = run(["--batched", "--methods", "em", "--NTPB", "128", "--NB", "1",
+              "--N", "4", "--rng", "threefry4", "--conditional"])
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.splitlines()
+             if l.startswith("em,")]
+    assert len(lines) == 200       # the reference's feasible grid size
+    import math
+    errs = [float(l.split(",")[5]) for l in lines]
+    assert all(math.isfinite(e) and e >= 0 for e in errs)
