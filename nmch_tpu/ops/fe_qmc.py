@@ -50,7 +50,7 @@ from jax.scipy.special import ndtri
 
 from ..rng.sobol import (
     direction_numbers, gray_codes, sobol_dims_u32, digital_shifts,
-    u01_from_words,
+    lms_scramble_directions, u01_from_words,
 )
 from .fe import fe_step
 
@@ -154,7 +154,7 @@ def qmc_increments(N: int, n: int, epoch, k0, k1, T, v_np=None):
 
 
 def qmc_increments_mxu(N: int, n: int, epoch, k0, k1, T, v_np=None,
-                       n_shifts: int = 1):
+                       n_shifts: int = 1, scramble: str = "lms-shift"):
     """(N, n_shifts*n) increment matrices (dW1, dW2): Sobol' points ->
     inverse-CDF normals (bridge-ordered) -> ONE MXU matmul per factor
     (bb_increment_matrix).  All n_shifts digitally-shifted replicates
@@ -162,6 +162,14 @@ def qmc_increments_mxu(N: int, n: int, epoch, k0, k1, T, v_np=None,
     replicate r's shift key is epoch*n_shifts + r)."""
     v_np = direction_numbers(2 * N) if v_np is None else v_np
     V = jnp.asarray(v_np)
+    if scramble == "lms-shift":
+        # Owen-style linear matrix scramble, keyed by (seed, epoch);
+        # the n_shifts digital-shift replicates share one scramble (the
+        # shift randomization alone already unbiases each replicate, so
+        # the replicate CI stays valid conditional on the scramble)
+        V = lms_scramble_directions(V, epoch, k0, k1)
+    elif scramble != "shift":
+        raise ValueError(f"unknown scramble {scramble!r}")
     A = jnp.asarray(bb_increment_matrix(N))
     gray = jnp.tile(gray_codes(n), n_shifts)                    # (M,)
     ep0 = jnp.asarray(epoch, jnp.uint32) * np.uint32(n_shifts)

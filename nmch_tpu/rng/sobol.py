@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from .philox import philox4x32
@@ -81,6 +82,52 @@ def digital_shifts(dim_idx, epoch, k0, k1):
                              jnp.zeros_like(d) + np.uint32(0x534F424C),
                              jnp.zeros_like(d), k0, k1)
     return w0 & _MASK
+
+
+def lms_scramble_directions(v, epoch, k0, k1):
+    """Owen-style linear matrix scrambling (Matousek's LMS) of the
+    direction numbers, keyed by (seed, epoch).
+
+    Each dimension's generating matrix C_j is left-multiplied by a
+    random nonsingular lower-triangular GF(2) matrix M_j (ones on the
+    diagonal, strictly-lower bits from the Philox streams):
+
+        v'[j] bit k  =  parity(mask_{j,k} & v[j])
+
+    Digit order: bit 29 is the MOST significant output digit, so
+    "lower triangular" means output digit i may mix only digits
+    coarser-or-equal to i — mask_{j,k} = (random bits above k) |
+    bit k.  (Mixing in *finer* digits instead destroys coarse-level
+    equidistribution and with it the whole QMC gain — caught by
+    tests/test_qmc.py::test_lms_scramble_preserves_net_property.)
+    Combined with the per-dimension digital shift this is the classic
+    "LMS + shift" randomization — unbiased like the plain shift, with
+    Owen-like equidistribution guarantees on the scrambled net.  Cost:
+    a one-off (d, 30) table transform per randomization; point
+    generation is unchanged.
+
+    v: (d, 30) uint32 direction numbers; returns the same shape.
+    """
+    v = jnp.asarray(v, jnp.uint32)
+    d = v.shape[0]
+    dims = jnp.arange(d, dtype=jnp.uint32)[:, None]
+    ep = jnp.asarray(epoch, jnp.uint32)
+    out = []
+    for k in range(BITS):
+        # one random word per (dim, bit-row); plane "LMS\0" labels the
+        # stream (disjoint from paths and from the shift plane)
+        w0, _, _, _ = philox4x32(dims, ep,
+                                 jnp.zeros_like(dims) + np.uint32(0x4C4D5300),
+                                 jnp.zeros_like(dims) + np.uint32(k),
+                                 k0, k1)
+        above = np.uint32(((1 << BITS) - 1) & ~((1 << (k + 1)) - 1))
+        mask = (w0[:, 0:1] & above) | np.uint32(1 << k)    # (d, 1)
+        bit_k = jax.lax.population_count(mask & v) & np.uint32(1)
+        out.append(bit_k << np.uint32(k))
+    vp = out[0]
+    for o in out[1:]:
+        vp = vp | o
+    return vp
 
 
 def u01_from_words(x):

@@ -119,3 +119,23 @@ def test_qmc_method_api_and_validation():
         NMCH_FE(SimConfig(), P, engine="qmc", rot=4)
     with pytest.raises(ValueError):
         NMCH_FE(SimConfig(), P, engine="qmc", rng="tpu")
+
+
+def test_lms_scramble_preserves_net_property():
+    """Owen-style LMS: the scrambled generator must stay a digital net
+    (one point per dyadic stratum in every dimension) and differ
+    between epochs."""
+    from nmch_tpu.rng.sobol import lms_scramble_directions
+    V = direction_numbers(8)
+    Vs = np.asarray(lms_scramble_directions(V, jnp.uint32(1), K0, K1))
+    V2 = np.asarray(lms_scramble_directions(V, jnp.uint32(2), K0, K1))
+    assert (Vs != np.asarray(V)).mean() > 0.5
+    assert (Vs != V2).mean() > 0.5
+    m = 12
+    x = np.asarray(sobol_dims_u32(gray_codes(1 << m), jnp.asarray(Vs)))
+    for j in range(8):
+        # perfect equidistribution at EVERY dyadic resolution (the
+        # property a wrong-orientation scramble silently destroys)
+        for mp in (2, 4, 8, 12):
+            cnt = np.bincount(x[j] >> (BITS - mp), minlength=1 << mp)
+            assert (cnt == (1 << m) // (1 << mp)).all(), (j, mp)
