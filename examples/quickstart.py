@@ -43,6 +43,27 @@ def main():
               f"({res.exec_time_ms:.1f} ms)")
     m.finalize()
 
+    # the fast/accurate variants beyond the reference (see README):
+    print("\nvariance-reduced / QMC variants:")
+    for label, kwargs in (
+        ("FE rot=4 rotation sampling (headline)", dict(rot=4)),
+        ("FE scrambled-Sobol + Brownian bridge", dict(engine="qmc")),
+    ):
+        m = NMCH_FE(cfg, params, **kwargs)
+        m.init(seed=1234)
+        m.compute()
+        res = m.compute()
+        print(f"  {label}: price={res.price:.6f} "
+              f"ci={res.ci_error:.2e} ({res.exec_time_ms:.1f} ms)")
+        m.finalize()
+    m = NMCH_EM(cfg, params, rng="threefry4", conditional=True)
+    m.init(seed=1234)
+    m.compute()
+    res = m.compute()
+    print(f"  EM threefry4 + conditional MC: price={res.price:.6f} "
+          f"ci={res.ci_error:.2e} ({res.exec_time_ms:.1f} ms)")
+    m.finalize()
+
 
 if __name__ == "__main__":
     main()
