@@ -38,6 +38,8 @@ def main() -> None:
                     help="rotation copies per stream; throughput counts "
                          "rot * n_paths * N path-steps")
     ap.add_argument("--rng", default="tpu")
+    ap.add_argument("--fast-sqrts", default="0",
+                    help="comma list of 0/1: sweep the fast_sqrt flag")
     ap.add_argument("--n-paths", type=int, default=1 << 19)
     ap.add_argument("--N", type=int, default=10_000)
     ap.add_argument("--reps", type=int, default=3)
@@ -54,10 +56,11 @@ def main() -> None:
     on_tpu = jax.default_backend() in ("tpu", "axon")
 
     rows_total = args.n_paths // 128
-    out_lines = ["box,rot,unroll,tile_rows,ms,gpathsteps,price"]
+    out_lines = ["box,fsqrt,rot,unroll,tile_rows,ms,gpathsteps,price"]
     print(out_lines[0], flush=True)
 
     for box in args.boxes.split(","):
+     for fsq in (int(x) for x in args.fast_sqrts.split(",")):
       for rot in (int(x) for x in args.rots.split(",")):
         for unroll in (int(u) for u in args.unrolls.split(",")):
             for tile in (int(t) for t in args.tiles.split(",")):
@@ -69,7 +72,8 @@ def main() -> None:
                         params, sw, jnp.uint32(epoch), jnp.uint32(0),
                         N=args.N, n_paths=args.n_paths, tile_rows=tile,
                         rng=args.rng, interpret=not on_tpu,
-                        box=box, unroll=unroll, rot=rot)
+                        box=box, unroll=unroll, rot=rot,
+                        fast_sqrt=bool(fsq))
 
                 try:
                     m, _ = run(0)
@@ -79,14 +83,14 @@ def main() -> None:
                     vals = jax.device_get(outs)
                     dt = (time.perf_counter() - t0) / args.reps
                 except Exception as e:  # record, keep sweeping
-                    line = (f"{box},{rot},{unroll},{tile},ERROR,"
+                    line = (f"{box},{fsq},{rot},{unroll},{tile},ERROR,"
                             f"{type(e).__name__},")
                     print(line, flush=True)
                     out_lines.append(line)
                     continue
                 g = rot * args.n_paths * args.N / dt / 1e9
-                line = (f"{box},{rot},{unroll},{tile},{dt*1e3:.2f},{g:.2f},"
-                        f"{float(vals[-1][0]):.6f}")
+                line = (f"{box},{fsq},{rot},{unroll},{tile},{dt*1e3:.2f},"
+                        f"{g:.2f},{float(vals[-1][0]):.6f}")
                 print(line, flush=True)
                 out_lines.append(line)
 

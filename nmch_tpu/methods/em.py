@@ -21,7 +21,7 @@ from ..utils.timing import Timer
 from .base import NMCH
 
 # module-level jit wrapper — one trace cache across all compute() calls
-_em_scan_jit = jax.jit(em_moments_scan, static_argnums=(1, 6, 7))
+_em_scan_jit = jax.jit(em_moments_scan, static_argnums=(1, 6, 7, 8))
 
 
 class NMCH_EM(NMCH):
@@ -32,12 +32,19 @@ class NMCH_EM(NMCH):
     def __init__(self, cfg: SimConfig, params: HestonParams,
                  engine: str = "pallas", rng: str = "philox",
                  conditional: bool = False,
-                 interpret: bool | None = None):
+                 interpret: bool | None = None,
+                 poisson_cut: float | None = None):
         """conditional=True replaces the sampled terminal payoff with
         its exact Black–Scholes conditional expectation given the
         variance path (ops/em.py::em_conditional_payoff) — identical
         mean, measured ~1.9x smaller CI, one fewer draw per path; a
-        variance-reduction capability the CUDA reference lacks."""
+        variance-reduction capability the CUDA reference lacks.
+
+        poisson_cut: lambda above which the variance transition's
+        Poisson mixture index uses the one-round normal approximation
+        instead of PTRS rejection (None = curand's 4000).  See
+        ops/em.py::em_path_law for the accuracy analysis; the measured
+        fast setting is 128."""
         super().__init__(cfg, params)
         if engine not in ("pallas", "scan"):
             raise ValueError(f"unknown engine {engine!r}")
@@ -48,6 +55,7 @@ class NMCH_EM(NMCH):
         self.engine = engine
         self.rng = rng
         self.conditional = conditional
+        self.poisson_cut = poisson_cut
         if interpret is None:
             interpret = jax.default_backend() not in ("tpu", "axon")
         self.interpret = interpret
@@ -67,10 +75,11 @@ class NMCH_EM(NMCH):
                 pv, sw, jnp.uint32(epoch), jnp.uint32(0),
                 N=self.cfg.N, n_paths=self.cfg.n_paths,
                 interpret=self.interpret, rng=self.rng,
-                conditional=self.conditional)
+                conditional=self.conditional,
+                poisson_cut=self.poisson_cut)
         pidx = path_index_grid(self.cfg.n_paths)
         return _em_scan_jit(pv, self.cfg.N, pidx, jnp.uint32(epoch), k0, k1,
-                            self.rng, self.conditional)
+                            self.rng, self.conditional, self.poisson_cut)
 
     def compute(self) -> SimResult:
         if self.streams is None:

@@ -45,7 +45,7 @@ from .fe import path_index_grid  # re-exported layout helper
 
 
 def em_path_law(params_vec, N: int, path_lo, path_hi, epoch, k0, k1,
-                rng: str = "philox"):
+                rng: str = "philox", poisson_cut: float | None = None):
     """Simulate the exact variance path; returns (m, sig_eff, v_T, vI,
     final_ctr) — the conditional law of ln S_T given the variance path:
     ln S_T ~ N(m, sig_eff^2)  (reference ``NMCH_EM.cu:116-124``).
@@ -54,6 +54,19 @@ def em_path_law(params_vec, N: int, path_lo, path_hi, epoch, k0, k1,
     params_vec may be a flat f32[8] (scalar parameters) or a sequence of
     eight arrays broadcastable against the path layout — the batched
     parameter-grid kernel passes (1, 128) per-lane columns.
+
+    poisson_cut: lambda above which the Poisson mixture index N_p uses
+    the continuity-corrected normal approximation instead of PTRS
+    (default: sampling._POISSON_LARGE = 4000, curand's own switch,
+    NMCH_EM.cu:102 uses curand_poisson which does the same).  The EM
+    *price* tolerates a much lower cut than the raw sampler: the
+    Poisson index is smoothed through Gamma(d + N_p) (adjacent indices'
+    gammas overlap at width ~sqrt(d + lam) >> 1), so the normal
+    approximation's O(skewness) = O(1/sqrt(lam)) CDF error enters the
+    variance transition only through its smooth moments — measured
+    price shift at cut=128 is below the 95% CI at 2^20 paths
+    (tests/test_em.py::test_em_poisson_cut_price_parity, and the TPU
+    measurement in benchmarks/RESULTS.md).
     """
     T, S_0, v_0, r, k, rho, theta, sigma = (params_vec[i] for i in range(8))
     dt = T / jnp.float32(N)
@@ -81,7 +94,8 @@ def em_path_law(params_vec, N: int, path_lo, path_hi, epoch, k0, k1,
         Vt, vI, ctr = carry
         lam = lam_const * Vt
         N_p, ctr = poisson_from_stream(lam, ctr, ep, path_lo, path_hi,
-                                       k0, k1, rng=rng)
+                                       k0, k1, rng=rng,
+                                       large_cut=poisson_cut)
         gam, ctr = gamma_ms_from_stream(d_arr + N_p, ctr, ep, path_lo,
                                         path_hi, k0, k1, rng=rng)
         Vt_next = vfac * gam
@@ -98,10 +112,11 @@ def em_path_law(params_vec, N: int, path_lo, path_hi, epoch, k0, k1,
 
 
 def em_terminal_core(params_vec, N: int, path_lo, path_hi, epoch, k0, k1,
-                     rng: str = "philox"):
+                     rng: str = "philox", poisson_cut: float | None = None):
     """Simulate the exact scheme; returns (S_T, v_T, vI, final_ctr)."""
     m, sig_eff, Vt, vI, ctr = em_path_law(params_vec, N, path_lo, path_hi,
-                                          epoch, k0, k1, rng=rng)
+                                          epoch, k0, k1, rng=rng,
+                                          poisson_cut=poisson_cut)
     # terminal draw (one more block per path)
     ep = jnp.asarray(epoch, dtype=jnp.uint32)
     w0, w1, _, _ = make_lane_draw4(rng)(ctr, ep, path_lo, path_hi, k0, k1)
@@ -150,17 +165,19 @@ def em_conditional_payoff(m, sig_eff, K):
 
 
 def em_terminal(params_vec, N: int, path_idx, epoch, k0, k1,
-                rng: str = "philox"):
+                rng: str = "philox", poisson_cut: float | None = None):
     """Golden engine entry: (S_T, v_T) for (R, 128) path indices."""
     path_lo = path_idx.astype(jnp.uint32)
     path_hi = jnp.zeros_like(path_lo)
     S_T, v_T, _, _ = em_terminal_core(params_vec, N, path_lo, path_hi,
-                                      epoch, k0, k1, rng=rng)
+                                      epoch, k0, k1, rng=rng,
+                                      poisson_cut=poisson_cut)
     return S_T, v_T
 
 
 def em_moments_scan(params_vec, N: int, path_idx, epoch, k0, k1,
-                    rng: str = "philox", conditional: bool = False):
+                    rng: str = "philox", conditional: bool = False,
+                    poisson_cut: float | None = None):
     """Golden engine: (E[X], E[X^2]) with X = (S_T - K)^+, K = S_0.
 
     conditional=True: X = E[(S_T - K)^+ | variance path] (conditional
@@ -171,10 +188,11 @@ def em_moments_scan(params_vec, N: int, path_idx, epoch, k0, k1,
         path_lo = path_idx.astype(jnp.uint32)
         m, sig_eff, _, _, _ = em_path_law(
             params_vec, N, path_lo, jnp.zeros_like(path_lo), epoch, k0, k1,
-            rng=rng)
+            rng=rng, poisson_cut=poisson_cut)
         payoff = em_conditional_payoff(m, sig_eff, K)
     else:
-        S_T, _ = em_terminal(params_vec, N, path_idx, epoch, k0, k1, rng=rng)
+        S_T, _ = em_terminal(params_vec, N, path_idx, epoch, k0, k1,
+                             rng=rng, poisson_cut=poisson_cut)
         payoff = jnp.maximum(S_T - K, 0.0)
     n = jnp.float32(payoff.size)
     return jnp.sum(payoff) / n, jnp.sum(payoff * payoff) / n

@@ -33,7 +33,8 @@ LANES = 128
 
 
 def _em_kernel(pv_ref, sc_ref, sum_ref, sumsq_ref, comp_ref, *, N: int,
-               rows: int, rng: str = "philox", conditional: bool = False):
+               rows: int, rng: str = "philox", conditional: bool = False,
+               poisson_cut: float | None = None):
     """One grid program simulates a (rows, 128) tile of EM paths.
 
     pv_ref: SMEM f32[8]  — (T, S_0, v_0, r, k, rho, theta, sigma)
@@ -53,11 +54,13 @@ def _em_kernel(pv_ref, sc_ref, sum_ref, sumsq_ref, comp_ref, *, N: int,
     pv = jnp.stack([pv_ref[j] for j in range(8)])
     if conditional:
         m, sig_eff, _, _, _ = em_path_law(pv, N, path_lo, path_hi, epoch,
-                                          k0, k1, rng=rng)
+                                          k0, k1, rng=rng,
+                                          poisson_cut=poisson_cut)
         payoff = em_conditional_payoff(m, sig_eff, pv_ref[1])
     else:
         S_T, _, _, _ = em_terminal_core(pv, N, path_lo, path_hi, epoch,
-                                        k0, k1, rng=rng)
+                                        k0, k1, rng=rng,
+                                        poisson_cut=poisson_cut)
         payoff = jnp.maximum(S_T - pv_ref[1], 0.0)   # ATM strike K = S_0
     tile_sum = jnp.sum(payoff)
     tile_sumsq = jnp.sum(payoff * payoff)
@@ -76,16 +79,19 @@ def _em_kernel(pv_ref, sc_ref, sum_ref, sumsq_ref, comp_ref, *, N: int,
 
 
 @functools.partial(jax.jit, static_argnames=("N", "n_paths", "tile_rows",
-                                             "interpret", "rng", "conditional"))
+                                             "interpret", "rng",
+                                             "conditional", "poisson_cut"))
 def em_moments_pallas(params_vec, seed_words, epoch, base_path, *,
                       N: int, n_paths: int, tile_rows: int | None = None,
                       interpret: bool = False, rng: str = "philox",
-                      conditional: bool = False):
+                      conditional: bool = False,
+                      poisson_cut: float | None = None):
     """(E[X], E[X^2]) over n_paths exact-scheme paths.
 
     rng: "philox" (default, curand-family parity) or "threefry4" (the
     fast reproducible generator, rng/threefry4.py) — both engines draw
-    identically (lane-local counters, ops/sampling.py)."""
+    identically (lane-local counters, ops/sampling.py).
+    poisson_cut: see ops/em.py::em_path_law (EM speed/accuracy knob)."""
     if n_paths % LANES:
         raise ValueError(f"n_paths={n_paths} must be a multiple of {LANES}")
     total_rows = n_paths // LANES
@@ -106,7 +112,8 @@ def em_moments_pallas(params_vec, seed_words, epoch, base_path, *,
     ])
 
     kern = functools.partial(_em_kernel, N=N, rows=rows, rng=rng,
-                             conditional=conditional)
+                             conditional=conditional,
+                             poisson_cut=poisson_cut)
     s, s2 = pl.pallas_call(
         kern,
         grid=(grid,),

@@ -37,8 +37,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..rng.philox import philox4x32
 from ..rng.threefry import draw4_threefry
 from ..rng.threefry4 import draw4_threefry4
-from ..rng.normal import normal4_from_bits
-from .fe import fe_step, rotation_images
+from ..rng.normal import normal4_from_bits, normal4_from_bits3
+from .fe import fe_consts, fe_rot_group_step
 
 LANES = 128
 
@@ -59,7 +59,7 @@ def _kahan_add(acc_ref, comp_ref, slot: int, val):
 
 def _fe_kernel(pv_ref, sc_ref, sum_ref, sumsq_ref, comp_ref, *, N: int,
                rows: int, rng: str = "philox", rot: int = 1,
-               box: str = "hc", unroll: int = 1):
+               box: str = "hc", unroll: int = 1, fast_sqrt: bool = False):
     """One grid program simulates a (rows, 128) tile of paths.
 
     pv_ref: SMEM f32[8]  — (T, S_0, v_0, r, k, rho, theta, sigma)
@@ -90,6 +90,7 @@ def _fe_kernel(pv_ref, sc_ref, sum_ref, sumsq_ref, comp_ref, *, N: int,
     dt = T / jnp.float32(N)
     sqrt_dt = jnp.sqrt(dt)
     sqrt_rho_c = jnp.sqrt(jnp.float32(1.0) - rho * rho)
+    cst = fe_consts(r, k, theta, sigma, rho, sqrt_rho_c, dt, sqrt_dt)
 
     k0 = sc_ref[0]
     k1 = sc_ref[1]
@@ -142,10 +143,20 @@ def _fe_kernel(pv_ref, sc_ref, sum_ref, sumsq_ref, comp_ref, *, N: int,
     def draw_iter(j):
         """U blocks of 4 normals for iteration j."""
         if rng == "tpu":
-            # one fused generation for all 4U words of the iteration
-            allb = pltpu.prng_random_bits((4 * U * rows, LANES)) \
+            # one fused generation for all words of the iteration;
+            # box="hc16" packs both pairs' phases into one word
+            # (3 words per block instead of 4 — normal4_from_bits3)
+            wpb = 3 if box in ("hc16", "hc16f") else 4
+            allb = pltpu.prng_random_bits((wpb * U * rows, LANES)) \
                 .astype(jnp.uint32)
-            words = [allb[4 * t * rows:(4 * t + 4) * rows] for t in range(U)]
+            words = [allb[wpb * t * rows:(wpb * t + wpb) * rows]
+                     for t in range(U)]
+            if wpb == 3:
+                return [normal4_from_bits3(w[0 * rows:1 * rows],
+                                           w[1 * rows:2 * rows],
+                                           w[2 * rows:3 * rows],
+                                           fast=(box == "hc16f"))
+                        for w in words]
             return [normal4_from_bits(w[0 * rows:1 * rows],
                                       w[1 * rows:2 * rows],
                                       w[2 * rows:3 * rows],
@@ -157,24 +168,18 @@ def _fe_kernel(pv_ref, sc_ref, sum_ref, sumsq_ref, comp_ref, *, N: int,
 
     def block_steps(bi, pairs, Ss, vs):
         """Advance all rot copies through counter block bi (2 steps);
-        copy t sees rotation_images(., ., rot)[t] of the shared draws."""
+        copy t sees rotation_images(., ., rot)[t] of the shared draws —
+        via fe_rot_group_step's shared rotation algebra."""
         g0, g1, g2, g3 = pairs
-
-        def all_copies(Ss, vs, a, b):
-            oS, ov = [], []
-            for t, (ta, tb) in enumerate(rotation_images(a, b, rot)):
-                S, v = fe_step(Ss[t], vs[t], ta, tb, r, k, theta, sigma,
-                               rho, sqrt_rho_c, dt, sqrt_dt)
-                oS.append(S)
-                ov.append(v)
-            return oS, ov
-
-        Ss, vs = all_copies(Ss, vs, g0, g1)
+        Ss, vs = fe_rot_group_step(Ss, vs, g0, g1, cst, rot,
+                                   fast_sqrt=fast_sqrt)
         if N % 2 == 0:
-            Ss, vs = all_copies(Ss, vs, g2, g3)
+            Ss, vs = fe_rot_group_step(Ss, vs, g2, g3, cst, rot,
+                                       fast_sqrt=fast_sqrt)
         else:
             do = (2 * bi + 1) < N
-            S2, v2 = all_copies(Ss, vs, g2, g3)
+            S2, v2 = fe_rot_group_step(Ss, vs, g2, g3, cst, rot,
+                                       fast_sqrt=fast_sqrt)
             Ss = [jnp.where(do, b_, a_) for b_, a_ in zip(S2, Ss)]
             vs = [jnp.where(do, b_, a_) for b_, a_ in zip(v2, vs)]
         return Ss, vs
@@ -231,13 +236,14 @@ def _pick_tile_rows(total_rows: int, target: int = 128) -> int:
 
 @functools.partial(jax.jit, static_argnames=("N", "n_paths", "tile_rows",
                                              "rng", "antithetic", "rot",
-                                             "interpret", "box", "unroll"))
+                                             "interpret", "box", "unroll",
+                                             "fast_sqrt"))
 def fe_moments_pallas(params_vec, seed_words, epoch, base_path, *,
                       N: int, n_paths: int, tile_rows: int | None = None,
                       rng: str = "philox", antithetic: bool = False,
                       rot: int | None = None,
                       interpret: bool = False, box: str = "hc",
-                      unroll: int = 0):
+                      unroll: int = 0, fast_sqrt: bool = False):
     """(E[X], E[X^2]) over n_paths FE path groups via the fused kernel.
 
     seed_words: uint32[2]; epoch/base_path: uint32 scalars (traced).
@@ -281,8 +287,18 @@ def fe_moments_pallas(params_vec, seed_words, epoch, base_path, *,
                          f"'threefry', 'threefry4' or 'tpu')")
     if rng == "tpu" and interpret:
         raise ValueError("rng='tpu' requires real TPU hardware")
+    if box in ("hc16", "hc16f") and rng != "tpu":
+        raise ValueError(f"box={box!r} (packed 16-bit phases) only applies "
+                         f"to rng='tpu': the counter-based engines keep "
+                         f"the 4-word consumption contract (bitwise "
+                         f"golden==kernel parity)")
+    if fast_sqrt and rng != "tpu":
+        raise ValueError("fast_sqrt=True (v * rsqrt(v)) only applies to "
+                         "rng='tpu': rsqrt is not correctly rounded, so "
+                         "the reproducible engines keep IEEE sqrt")
     kern = functools.partial(_fe_kernel, N=N, rows=rows, rng=rng,
-                             rot=rot, box=box, unroll=unroll)
+                             rot=rot, box=box, unroll=unroll,
+                             fast_sqrt=fast_sqrt)
     s, s2 = pl.pallas_call(
         kern,
         grid=(grid,),

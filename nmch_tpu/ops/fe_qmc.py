@@ -52,7 +52,7 @@ from ..rng.sobol import (
     direction_numbers, gray_codes, sobol_dims_u32, digital_shifts,
     lms_scramble_directions, u01_from_words,
 )
-from .fe import fe_step
+from .fe import fe_consts, fe_step
 
 
 @functools.lru_cache(maxsize=8)
@@ -200,6 +200,7 @@ def _sim_payoff(params_vec, N, dW1, dW2):
     dt = T / jnp.float32(N)
     sqrt_dt = jnp.sqrt(dt)
     sqrt_rho_c = jnp.sqrt(jnp.float32(1.0) - rho * rho)
+    cst = fe_consts(r, k, theta, sigma, rho, sqrt_rho_c, dt, sqrt_dt)
     n = dW1.shape[1]
     S0 = jnp.full((n,), 1.0, jnp.float32) * S_0
     v0 = jnp.full((n,), 1.0, jnp.float32) * v_0
@@ -207,8 +208,7 @@ def _sim_payoff(params_vec, N, dW1, dW2):
     def body(carry, gs):
         S, v = carry
         g1, g2 = gs
-        S, v = fe_step(S, v, g1, g2, r, k, theta, sigma, rho,
-                       sqrt_rho_c, dt, sqrt_dt)
+        S, v = fe_step(S, v, g1, g2, cst)
         return (S, v), None
 
     (S, _), _ = lax.scan(body, (S0, v0),
@@ -226,6 +226,11 @@ def fe_moments_qmc(params_vec, epoch, k0, k1, *, N: int, n_paths: int,
     replicates of n_paths/n_shifts Sobol' points (same index range,
     different digital shifts).
     """
+    if n_shifts < 2:
+        raise ValueError(f"n_shifts={n_shifts} must be >= 2: the RQMC CI "
+                         f"is the spread of independent shift replicates "
+                         f"(one replicate has no spread — t.ppf(., 0) is "
+                         f"NaN)")
     if n_paths % n_shifts:
         raise ValueError(f"n_paths={n_paths} must be divisible by "
                          f"n_shifts={n_shifts}")

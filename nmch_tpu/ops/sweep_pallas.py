@@ -34,7 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..rng.philox import philox4x32
 from ..rng.threefry4 import draw4_threefry4
 from ..rng.normal import normal4_from_bits
-from .fe import fe_step, fe_moments_scan, path_index_grid
+from .fe import fe_consts, fe_step, fe_moments_scan, path_index_grid
 
 LANES = 128
 
@@ -64,6 +64,8 @@ def _fe_sweep_kernel(pv_ref, sc_ref, sum_ref, sumsq_ref, *, N: int,
     dt = T / jnp.float32(N)
     sqrt_dt = jnp.sqrt(dt)
     sqrt_rho_c = jnp.sqrt(jnp.float32(1.0) - rho * rho)
+    # per-lane (1, 128) constant columns, hoisted out of the step loop
+    cst = fe_consts(r, k, theta, sigma, rho, sqrt_rho_c, dt, sqrt_dt)
 
     k0 = sc_ref[0]
     k1 = sc_ref[1]
@@ -76,10 +78,13 @@ def _fe_sweep_kernel(pv_ref, sc_ref, sum_ref, sumsq_ref, *, N: int,
     path_hi = jnp.zeros((rows, 1), jnp.uint32)
 
     if rng == "tpu":
-        pltpu.prng_seed(k0 ^ k1,
-                        (sc_ref[2] + pt.astype(jnp.uint32))
-                        * np.uint32(0x9E3779B9)
-                        + it.astype(jnp.uint32) * np.uint32(0x85EBCA6B))
+        # two-seed-word scheme, aligned with ops/fe_pallas.py: the
+        # (epoch0, point-tile) identity and the path-tile identity live
+        # in *separate* seed words, so replaying a stream needs a
+        # simultaneous 64-bit match — not a 32-bit sum collision.
+        pltpu.prng_seed(k0 ^ k1 ^ (sc_ref[2] + pt.astype(jnp.uint32))
+                        * np.uint32(0x9E3779B9),
+                        it.astype(jnp.uint32) * np.uint32(0x85EBCA6B))
 
     ones = jnp.full((rows, LANES), 1.0, jnp.float32)
     S = ones * S_0
@@ -94,19 +99,18 @@ def _fe_sweep_kernel(pv_ref, sc_ref, sum_ref, sumsq_ref, *, N: int,
         elif rng == "threefry4":
             bits = draw4_threefry4(jnp.full((), j, jnp.uint32), epoch,
                                    path_lo, k0, k1, path_hi=path_hi)
-        else:
+        elif rng == "tpu":
             bits = [pltpu.prng_random_bits((rows, LANES)).astype(jnp.uint32)
                     for _ in range(4)]
+        else:  # unreachable: fe_sweep_pallas validates rng
+            raise ValueError(f"unknown rng {rng!r}")
         g0, g1, g2, g3 = normal4_from_bits(*bits)
-        S, v = fe_step(S, v, g0, g1, r, k, theta, sigma, rho, sqrt_rho_c,
-                       dt, sqrt_dt)
+        S, v = fe_step(S, v, g0, g1, cst)
         if N % 2 == 0:
-            S, v = fe_step(S, v, g2, g3, r, k, theta, sigma, rho,
-                           sqrt_rho_c, dt, sqrt_dt)
+            S, v = fe_step(S, v, g2, g3, cst)
         else:
             do = (2 * j + 1) < N
-            S2, v2 = fe_step(S, v, g2, g3, r, k, theta, sigma, rho,
-                             sqrt_rho_c, dt, sqrt_dt)
+            S2, v2 = fe_step(S, v, g2, g3, cst)
             S = jnp.where(do, S2, S)
             v = jnp.where(do, v2, v)
         return S, v
@@ -136,6 +140,12 @@ def fe_sweep_pallas(params_matrix, seed_words, epoch0, *, N: int,
     (T, S_0, v_0, r, k, rho, theta, sigma).
     Returns two f32[n_points] arrays.  n_paths is per point.
     """
+    if rng not in ("philox", "threefry4", "tpu"):
+        raise ValueError(f"unknown rng {rng!r} for fe_sweep_pallas "
+                         f"(expected 'philox', 'threefry4' or 'tpu'; "
+                         f"'threefry' has no sweep-kernel path)")
+    if rng == "tpu" and interpret:
+        raise ValueError("rng='tpu' requires real TPU hardware")
     pt_tiles = -(-n_points // LANES)
     n_pad = pt_tiles * LANES
     # pad point rows by repeating the last row (results discarded)
@@ -268,6 +278,10 @@ def em_sweep_pallas(params_matrix, seed_words, epoch0, *, N: int,
 
     rng="threefry4" and conditional=True compose with the batched
     layout exactly as in the single-point kernel (methods/em.py)."""
+    if rng not in ("philox", "threefry4"):
+        raise ValueError(f"unknown rng {rng!r} for em_sweep_pallas "
+                         f"(the rejection samplers consume lane-local "
+                         f"counter streams: 'philox' or 'threefry4')")
     pt_tiles = -(-n_points // LANES)
     n_pad = pt_tiles * LANES
     pad = jnp.broadcast_to(params_matrix[-1:], (n_pad - n_points, 8))

