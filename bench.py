@@ -1,23 +1,35 @@
-"""Headline benchmark: FE path·steps/sec on one chip.
+"""Headline benchmark: FE path·steps/sec on one chip (+ error-matched).
 
 Reference baseline (BASELINE.md): FE_K1 52.88 ms at 2^19 paths x
 N=10^4 on the (unnamed) CUDA GPU => 99.1 G path·steps/s.  We run the
 same workload shape on one TPU chip with the fused Pallas kernel in
-its fastest configuration — rot=4 rotation sampling (2^19 path groups
-x 4 orthogonally-rotated copies = 2^21 simulated paths, each a
-marginally-exact Euler path) — and report
+its fastest configuration — rng="tpu" hardware PRNG, box="hc16f"
+packed-phase normals, fast_sqrt, rot=4 rotation sampling (2^19 path
+groups x 4 orthogonally-rotated copies = 2^21 simulated paths, each a
+marginally-exact Euler path).
 
-    {"metric": "fe_path_steps_per_sec", "value": ..., "unit":
-     "path_steps/s", "vs_baseline": value / 99.1e9}
+Reported keys (round-3 VERDICT next-step #6 — raw AND error-matched):
 
-value counts *simulated Euler path·steps* (rot * n_groups * N / time),
-the same unit the reference's 524288-path number uses.  Counting the
-rotated copies is statistically conservative: a rot-4 group mean has a
-*smaller* CI than 4 iid paths (asserted in
-tests/test_fe.py::test_rot4_reduces_variance_vs_iid and measured in
-benchmarks/RESULTS.md), so these path·steps are worth at least iid
-path·steps.  The plain (rot=1) kernel number is reported alongside in
-"plain_value".
+  value / vs_baseline    raw simulated path·steps/s, rot=4.  Counting
+                         rotated copies is *conservative*: the measured
+                         group-variance ratio var(X)/(4 var(Y4)) is
+                         ~1.8 (> 1), i.e. a rot-4 group carries MORE
+                         information than 4 iid paths (re-measured each
+                         run from the same (m, m2) outputs and reported
+                         as fe_variance_ratio).
+  plain_value/_vs_baseline  the rot=1 kernel — the strict apples-to-
+                         apples iid number.
+  fe_error_matched       time-to-equal-CI multiple vs the reference for
+                         the rot=4 estimator = vs_baseline x
+                         fe_variance_ratio.
+  qmc_value              raw path·steps/s of the QMC engine at
+                         2^20 points x N=1000 (scalability config).
+  error_matched_value    QMC time-to-equal-CI multiple vs the
+                         reference: t_ref(CI)/t_qmc with t_ref from the
+                         reference's measured error curve (0.408/sqrt n
+                         at 99.1 G path·steps/s, results/
+                         scalability.png fit — see benchmarks/
+                         RESULTS.md).
 
 Timing methodology: compile + warm-up discarded (like the reference's
 exploration warm-up, exploration.cu:65-67), then K runs dispatched
@@ -38,27 +50,35 @@ N_GROUPS = 1 << 19
 N_STEPS = 10_000
 ROT = 4
 BASELINE = 99.1e9      # path·steps/s, profilings/timings.txt:5-13
+REF_ERR_COEF = 0.408   # reference CI ~ 0.408/sqrt(n), scalability fit
 REPS = 5
+QMC_PATHS = 1 << 20
+QMC_N = 1000
 
 
 def main() -> None:
     from nmch_tpu.params import HestonParams
     from nmch_tpu.rng.philox import split_seed
     from nmch_tpu.ops.fe_pallas import fe_moments_pallas
+    from nmch_tpu.ops.fe_qmc import fe_moments_qmc
+    from nmch_tpu.results import SimResult
 
     params = HestonParams()
+    pv = params.as_array()
     k0, k1 = split_seed(1234)
     sw = jnp.stack([jnp.uint32(k0), jnp.uint32(k1)])
     on_tpu = jax.default_backend() in ("tpu", "axon")
-    # rng="tpu" (hardware PRNG) is the fast engine; philox is the
-    # reproducible default.  Bench the fast one, like the reference
-    # benches its fastest variant (K3).
+    # rng="tpu" (hardware PRNG) + packed phases is the fast engine;
+    # philox is the reproducible default.  Bench the fast one, like
+    # the reference benches its fastest variant (K3).
     rng = "tpu" if on_tpu else "philox"
+    box = "hc16f" if on_tpu else "hc"
 
     def run(epoch, rot):
-        return fe_moments_pallas(params.as_array(), sw, jnp.uint32(epoch),
+        return fe_moments_pallas(pv, sw, jnp.uint32(epoch),
                                  jnp.uint32(0), N=N_STEPS, n_paths=N_GROUPS,
-                                 rng=rng, rot=rot, interpret=not on_tpu)
+                                 rng=rng, rot=rot, box=box,
+                                 fast_sqrt=on_tpu, interpret=not on_tpu)
 
     def timed(rot):
         m, m2 = run(0, rot)            # compile + warm-up (discarded)
@@ -69,10 +89,34 @@ def main() -> None:
         # under-waits on axon; per-value float() costs an RPC each)
         vals = jax.device_get(outs)
         dt = (time.perf_counter() - t0) / REPS
-        return rot * N_GROUPS * N_STEPS / dt, float(vals[-1][0])
+        m = sum(float(v[0]) for v in vals) / REPS
+        m2 = sum(float(v[1]) for v in vals) / REPS
+        return rot * N_GROUPS * N_STEPS / dt, m, m2 - m * m
 
-    throughput, price = timed(ROT)
-    plain, _ = timed(1)
+    throughput, price, var_y = timed(ROT)
+    plain, _, var_x = timed(1)
+
+    # group-variance ratio: var(X_iid) / (rot * var(Y_rot)); >= 1 means
+    # counting rotated copies as path-steps is conservative
+    ratio = var_x / (ROT * var_y) if var_y > 0 else float("nan")
+
+    # QMC error-matched point (the engine the reference has no answer
+    # to): time-to-equal-CI multiple at 2^20 points x N=1000
+    def qmc_run(epoch):
+        return fe_moments_qmc(pv, jnp.uint32(epoch), k0, k1, N=QMC_N,
+                              n_paths=QMC_PATHS, n_shifts=8,
+                              sim="pallas" if on_tpu else "scan",
+                              interpret=not on_tpu)
+
+    m, m2 = jax.device_get(qmc_run(0))
+    t0 = time.perf_counter()
+    outs = [qmc_run(1 + i) for i in range(3)]
+    vals = jax.device_get(outs)
+    t_qmc = (time.perf_counter() - t0) / 3
+    ci = SimResult(float(vals[-1][0]), float(vals[-1][1]),
+                   QMC_PATHS).ci_error
+    t_ref = (REF_ERR_COEF / ci) ** 2 * QMC_N / BASELINE
+    qmc_g = QMC_PATHS * QMC_N / t_qmc
 
     print(json.dumps({
         "metric": "fe_path_steps_per_sec",
@@ -80,8 +124,14 @@ def main() -> None:
         "unit": "path_steps/s",
         "vs_baseline": round(throughput / BASELINE, 4),
         "plain_value": round(plain, 1),
+        "plain_vs_baseline": round(plain / BASELINE, 4),
+        "fe_variance_ratio": round(ratio, 3),
+        "fe_error_matched": round(ratio * throughput / BASELINE, 2),
+        "qmc_value": round(qmc_g, 1),
+        "error_matched_value": round(t_ref / t_qmc, 1),
         "config": (f"2^19 groups x rot=4 (2^21 simulated paths) x N=10^4, "
-                   f"rng={rng}, price={price:.6f}"),
+                   f"rng={rng}/{box}, price={price:.6f}; qmc: 2^20 x "
+                   f"N=10^3, CI={ci:.2e}"),
     }))
 
 

@@ -114,8 +114,13 @@ class NMCH_FE(NMCH):
         pv = self.params.as_array()
         k0, k1 = self.streams.key_words
         if self.engine == "qmc":
+            # the fused streaming simulator when on real TPU and the
+            # replicate size tiles into 1024-path blocks
+            sim = ("pallas" if not self.interpret
+                   and (self.cfg.n_paths // 8) % 1024 == 0 else "scan")
             return fe_moments_qmc(pv, jnp.uint32(epoch), k0, k1,
-                                  N=self.cfg.N, n_paths=self.cfg.n_paths)
+                                  N=self.cfg.N, n_paths=self.cfg.n_paths,
+                                  sim=sim, interpret=self.interpret)
         if self.engine == "pallas":
             sw = jnp.stack([jnp.uint32(k0), jnp.uint32(k1)])
             return fe_moments_pallas(

@@ -21,9 +21,13 @@ of large fused elementwise passes plus one scan):
    30-XOR pass per bridge level generates ALL that level's dimensions
    at once; per-dimension digital shifts keyed by (seed, epoch) make
    the estimator unbiased (randomized QMC).
-3. **Normals.** inverse CDF (jax.scipy ndtri, f32 accuracy ~5e-7) —
-   Box–Muller would entangle dimension pairs and break the
-   low-discrepancy structure.
+3. **Normals.** inverse CDF (rng/normal.py::ndtri_fast, divisionless
+   two-piece polynomial, |z| error < 5e-6, ~2x fewer VPU ops than
+   jax.scipy's AS241 — which measured as the single largest cost of
+   the whole engine) — Box–Muller would entangle dimension pairs and
+   break the low-discrepancy structure.  The scatter cross-validation
+   path (_bridge_factor) keeps jax.scipy ndtri as the independent
+   reference map.
 4. **Simulation.**  The increments matrix (N, 2, n) feeds the exact
    same ``fe_step`` as the other engines through one ``lax.scan``.
 5. **CI.**  ``n_shifts`` independent digital shifts of n/n_shifts
@@ -46,11 +50,15 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 from jax.scipy.special import ndtri
 
+from ..rng.normal import ndtri_fast
+
 from ..rng.sobol import (
-    direction_numbers, gray_codes, sobol_dims_u32, digital_shifts,
-    lms_scramble_directions, u01_from_words,
+    direction_numbers, gray_codes, sobol_dims_u32, sobol_dims_u32_hilo,
+    digital_shifts, lms_scramble_directions, u01_from_words,
 )
 from .fe import fe_consts, fe_step
 
@@ -154,12 +162,17 @@ def qmc_increments(N: int, n: int, epoch, k0, k1, T, v_np=None):
 
 
 def qmc_increments_mxu(N: int, n: int, epoch, k0, k1, T, v_np=None,
-                       n_shifts: int = 1, scramble: str = "lms-shift"):
+                       n_shifts: int = 1, scramble: str = "lms-shift",
+                       base=0):
     """(N, n_shifts*n) increment matrices (dW1, dW2): Sobol' points ->
     inverse-CDF normals (bridge-ordered) -> ONE MXU matmul per factor
     (bb_increment_matrix).  All n_shifts digitally-shifted replicates
     ride the same matmul (replicate-major along the point axis;
-    replicate r's shift key is epoch*n_shifts + r)."""
+    replicate r's shift key is epoch*n_shifts + r).
+
+    base: first Sobol' point index (traced ok; multiple of the hilo
+    block, see rng/sobol.py) — the multi-chip sharding gives each chip
+    a disjoint index range of the SAME randomized point set."""
     v_np = direction_numbers(2 * N) if v_np is None else v_np
     V = jnp.asarray(v_np)
     if scramble == "lms-shift":
@@ -171,7 +184,6 @@ def qmc_increments_mxu(N: int, n: int, epoch, k0, k1, T, v_np=None,
     elif scramble != "shift":
         raise ValueError(f"unknown scramble {scramble!r}")
     A = jnp.asarray(bb_increment_matrix(N))
-    gray = jnp.tile(gray_codes(n), n_shifts)                    # (M,)
     ep0 = jnp.asarray(epoch, jnp.uint32) * np.uint32(n_shifts)
     reps = ep0 + jnp.arange(n_shifts, dtype=jnp.uint32)
     shifts = digital_shifts(
@@ -181,11 +193,19 @@ def qmc_increments_mxu(N: int, n: int, epoch, k0, k1, T, v_np=None,
     dws = []
     for f in (0, 1):
         dims = np.arange(N) * 2 + f
-        x = sobol_dims_u32(gray, V[dims])                        # (N, M)
-        x = x ^ jnp.repeat(shifts[dims], n, axis=1)
-        z = ndtri(u01_from_words(x))
+        # hi/lo-factored generation (one broadcast XOR per element
+        # instead of 30 select-XOR passes — HBM-speed, rng/sobol.py),
+        # with the n_shifts replicates shifted by broadcast (replicate-
+        # major along the point axis, same ordering as before)
+        x = sobol_dims_u32_hilo(n, V[dims], base=base)           # (N, n)
+        xs = x[:, None, :] ^ shifts[dims][:, :, None]            # (N,R,n)
+        z = ndtri_fast(u01_from_words(xs.reshape(N, n_shifts * n)))
+        # precision HIGH (3-pass bf16) keeps f32-grade increments at
+        # half the HIGHEST cost (measured 43 vs 78 ms at 2^19 x 1000;
+        # DEFAULT's ~0.4% relative noise would perturb the Brownian
+        # path by more than the QMC CI itself)
         dws.append(sqrt_dt * jnp.dot(A, z,
-                                     precision=jax.lax.Precision.HIGHEST))
+                                     precision=jax.lax.Precision.HIGH))
     return dws[0], dws[1]
 
 
@@ -216,16 +236,178 @@ def _sim_payoff(params_vec, N, dW1, dW2):
     return jnp.maximum(S - S_0, 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("N", "n_paths", "n_shifts"))
+def _qmc_sim_kernel(pv_ref, dw1_ref, dw2_ref, sum_ref, sumsq_ref,
+                    S_ref, v_ref, *, n_chunk: int, n_chunks: int,
+                    tiles_per_rep: int):
+    """Simulate FE paths from precomputed Brownian increments.
+
+    Grid (path_tiles, time_chunks), time innermost: per path tile the
+    (8, 128)-lane S/v state lives in VMEM scratch across time chunks
+    while (n_chunk, 8, 128) increment slabs stream in from HBM — the
+    XLA ``lax.scan`` this replaces paid ~50 ms of per-step fusion
+    overhead at 2^19 x 1000 (benchmarks/qmc_profile.py); the kernel
+    runs at HBM-stream speed.  Increments arrive as raw dW; the
+    fe_consts tuple is built with sqrt_dt = 1 so fe_step consumes dW
+    directly (rho_sd*g == rho*dW etc.) — zero per-step rescaling.
+
+    Outputs are PER-REPLICATE (sum payoff, sum payoff^2) accumulated
+    across the sequential grid into SMEM slots (replicate r owns path
+    tiles [r*tiles_per_rep, (r+1)*tiles_per_rep)) — deterministic,
+    like the FE kernel's Kahan grid accumulation (the payoff sums here
+    are per-replicate partial sums of ~1e5 paths; plain f32 adds keep
+    ~1e-6 relative accuracy, far under the RQMC shift spread).
+    """
+    p = pl.program_id(0)
+    c = pl.program_id(1)
+    T = pv_ref[0]
+    S_0 = pv_ref[1]
+    v_0 = pv_ref[2]
+    r = pv_ref[3]
+    k = pv_ref[4]
+    rho = pv_ref[5]
+    theta = pv_ref[6]
+    sigma = pv_ref[7]
+    N_ = jnp.float32(n_chunk * n_chunks)
+    dt = T / N_
+    sqrt_rho_c = jnp.sqrt(jnp.float32(1.0) - rho * rho)
+    cst = fe_consts(r, k, theta, sigma, rho, sqrt_rho_c, dt,
+                    jnp.float32(1.0))
+
+    @pl.when(c == 0)
+    def _():
+        S_ref[...] = jnp.full((8, 128), 1.0, jnp.float32) * S_0
+        v_ref[...] = jnp.full((8, 128), 1.0, jnp.float32) * v_0
+
+    def body(i, carry):
+        S, v = carry
+        return fe_step(S, v, dw1_ref[i], dw2_ref[i], cst)
+
+    S, v = lax.fori_loop(0, n_chunk, body, (S_ref[...], v_ref[...]))
+    S_ref[...] = S
+    v_ref[...] = v
+
+    @pl.when(jnp.logical_and(p == 0, c == 0))
+    def _():
+        for rr in range(sum_ref.shape[0]):
+            sum_ref[rr, 0] = 0.0
+            sumsq_ref[rr, 0] = 0.0
+
+    @pl.when(c == n_chunks - 1)
+    def _():
+        payoff = jnp.maximum(S - S_0, 0.0)    # ATM strike K = S_0
+        rep = p // tiles_per_rep
+        sum_ref[rep, 0] += jnp.sum(payoff)
+        sumsq_ref[rep, 0] += jnp.sum(payoff * payoff)
+
+
+def _pick_time_chunk(N: int, target: int = 125) -> int:
+    best = 1
+    d = 1
+    while d * d <= N:
+        if N % d == 0:
+            for c_ in (d, N // d):
+                if c_ <= target and c_ > best:
+                    best = c_
+        d += 1
+    return best
+
+
+def qmc_payoff_sums_pallas(params_vec, dW1, dW2, n_shifts: int, *,
+                           interpret: bool = False):
+    """Per-replicate (sum payoff, sum payoff^2) via the fused Pallas
+    simulator; dW*: (N, M) raw Brownian increments laid out replicate-
+    major with M % (1024 * n_shifts) == 0.  Returns two
+    f32[n_shifts] arrays."""
+    N, M = dW1.shape
+    if M % (1024 * n_shifts):
+        raise ValueError(f"M={M} must be a multiple of 1024*n_shifts")
+    mt = M // 1024
+    nc = _pick_time_chunk(N)
+    d1 = dW1.reshape(N, mt * 8, 128)
+    d2 = dW2.reshape(N, mt * 8, 128)
+    kern = functools.partial(_qmc_sim_kernel, n_chunk=nc,
+                             n_chunks=N // nc,
+                             tiles_per_rep=mt // n_shifts)
+    s, s2 = pl.pallas_call(
+        kern,
+        grid=(mt, N // nc),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((nc, 8, 128), lambda p, c: (c, p, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nc, 8, 128), lambda p, c: (c, p, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_shifts, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_shifts, 1), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((8, 128), jnp.float32),
+                        pltpu.VMEM((8, 128), jnp.float32)],
+        interpret=interpret,
+    )(params_vec.astype(jnp.float32), d1, d2)
+    return s[:, 0], s2[:, 0]
+
+
+def qmc_replicate_payoff_sums(params_vec, epoch, k0, k1, *, N: int,
+                              count: int, n_shifts: int = 8,
+                              sim: str = "scan", interpret: bool = False,
+                              base=0):
+    """Per-replicate payoff sums over Sobol' points [base, base+count)
+    of each of the n_shifts shifted replicates — the shardable unit of
+    the QMC engine (parallel/mesh.py gives each chip a disjoint
+    ``base`` range and psums the (n_shifts,) results).  Returns a
+    f32[n_shifts] array of payoff SUMS (divide by the total point
+    count per replicate to get the replicate means)."""
+    v_np = direction_numbers(2 * N)
+    T = params_vec[0]
+    dW1, dW2 = qmc_increments_mxu(N, count, epoch, k0, k1, T, v_np=v_np,
+                                  n_shifts=n_shifts, base=base)
+    if sim == "pallas":
+        s, _ = qmc_payoff_sums_pallas(params_vec, dW1, dW2, n_shifts,
+                                      interpret=interpret)
+        return s
+    payoff = _sim_payoff(params_vec, N, dW1, dW2)
+    return jnp.sum(payoff.reshape(n_shifts, count), axis=1)
+
+
+def rqmc_moments_from_means(means, n_paths: int, n_shifts: int):
+    """(m, m2) synthesized so SimResult(m, m2, n_paths) reproduces the
+    honest RQMC CI: var(shift means)/(R-1) is the unbiased variance of
+    the estimate, and the (t_{R-1}/z)^2 factor bakes the small-sample
+    Student-t 95% quantile into the standard 1.96-based formula."""
+    from scipy.stats import t as _t
+    m = jnp.mean(means)
+    t_over_z = float(_t.ppf(0.975, n_shifts - 1)) / 1.959963984540054
+    var_of_mean = jnp.var(means) * np.float32(
+        t_over_z ** 2 / (n_shifts - 1))
+    m2 = m * m + var_of_mean * jnp.float32(n_paths)
+    return m, m2
+
+
+@functools.partial(jax.jit, static_argnames=("N", "n_paths", "n_shifts",
+                                             "sim", "interpret"))
 def fe_moments_qmc(params_vec, epoch, k0, k1, *, N: int, n_paths: int,
-                   n_shifts: int = 8):
+                   n_shifts: int = 8, sim: str = "scan",
+                   interpret: bool = False):
     """(m, m2) for the QMC engine; SimResult(m, m2, n_paths) yields the
     randomized-QMC CI (see module docstring, point 5).
 
     n_paths points are split into ``n_shifts`` independently-shifted
     replicates of n_paths/n_shifts Sobol' points (same index range,
     different digital shifts).
+
+    sim: "scan" (pure-XLA lax.scan over steps) or "pallas" (the fused
+    streaming simulator, ~5x faster at headline sizes on TPU; requires
+    n_paths/n_shifts % 1024 == 0).
     """
+    if sim not in ("scan", "pallas"):
+        raise ValueError(f"unknown sim {sim!r} (expected 'scan' or "
+                         f"'pallas')")
     if n_shifts < 2:
         raise ValueError(f"n_shifts={n_shifts} must be >= 2: the RQMC CI "
                          f"is the spread of independent shift replicates "
@@ -239,17 +421,16 @@ def fe_moments_qmc(params_vec, epoch, k0, k1, *, N: int, n_paths: int,
     T = params_vec[0]
     dW1, dW2 = qmc_increments_mxu(N, n, epoch, k0, k1, T, v_np=v_np,
                                   n_shifts=n_shifts)
-    payoff = _sim_payoff(params_vec, N, dW1, dW2)
-    means = jnp.mean(payoff.reshape(n_shifts, n), axis=1)
-    m = jnp.mean(means)
-    # Synthesize m2 so SimResult's 1.96*sqrt((m2-m^2)/n) formula
-    # returns the honest RQMC 95% CI.  var(shift means)/(R-1) is the
-    # unbiased variance of the mean; with only R replicates the 95%
-    # quantile is Student-t with R-1 dof, not the normal 1.96 — the
-    # (t/z)^2 factor bakes that in (t_7 = 2.365 for the default R=8).
-    from scipy.stats import t as _t
-    t_over_z = float(_t.ppf(0.975, n_shifts - 1)) / 1.959963984540054
-    var_of_mean = jnp.var(means) * np.float32(
-        t_over_z ** 2 / (n_shifts - 1))
-    m2 = m * m + var_of_mean * jnp.float32(n_paths)
-    return m, m2
+    if sim == "pallas":
+        if n % 1024:
+            raise ValueError(f"sim='pallas' needs n_paths/n_shifts "
+                             f"(= {n}) to be a multiple of 1024")
+        s, _ = qmc_payoff_sums_pallas(params_vec, dW1, dW2, n_shifts,
+                                      interpret=interpret)
+        means = s / jnp.float32(n)
+    else:
+        payoff = _sim_payoff(params_vec, N, dW1, dW2)
+        means = jnp.mean(payoff.reshape(n_shifts, n), axis=1)
+    # m2 synthesized so SimResult's 1.96*sqrt((m2-m^2)/n) returns the
+    # honest RQMC 95% CI (Student-t over the R shift replicates)
+    return rqmc_moments_from_means(means, n_paths, n_shifts)

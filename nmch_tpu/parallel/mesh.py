@@ -64,11 +64,14 @@ def sharded_moments(mesh: Mesh, params_vec, seed: int, epoch, *,
                          "counter streams)")
     if method == "fe" and engine == "scan" and rng == "tpu":
         raise ValueError("rng='tpu' requires engine='pallas'")
-    if engine not in ("pallas", "scan"):
+    if engine not in ("pallas", "scan", "qmc"):
         raise ValueError(
             f"unknown engine {engine!r} for sharded_moments (expected "
-            "'pallas' or 'scan'; engine='qmc' is single-controller — "
-            "call ops.fe_qmc.fe_moments_qmc directly)")
+            "'pallas', 'scan' or 'qmc')")
+    if engine == "qmc" and method != "fe":
+        raise ValueError("engine='qmc' is FE-only")
+    if engine == "qmc" and rot != 1:
+        raise ValueError("engine='qmc' has no rot variants")
     if method == "em" and rot != 1:
         raise ValueError("rot is FE-only")
     if method == "fe" and conditional:
@@ -77,6 +80,39 @@ def sharded_moments(mesh: Mesh, params_vec, seed: int, epoch, *,
     from ..rng.philox import split_seed
     k0, k1 = split_seed(seed)
     seed_words = jnp.stack([jnp.uint32(k0), jnp.uint32(k1)])
+
+    if engine == "qmc":
+        # Sobol' POINT-INDEX ranges are sharded: chip c simulates
+        # points [c*count, (c+1)*count) of every shift replicate —
+        # bit-identical slices of the single-device point set
+        # (rng/sobol.py hilo base offset) — and the (n_shifts,)
+        # per-replicate payoff sums ride one psum.  Requires
+        # n_paths/n_shifts divisible by n_dev (and the hilo block).
+        from ..ops.fe_qmc import (
+            qmc_replicate_payoff_sums, rqmc_moments_from_means,
+        )
+        n_shifts = 8
+        n = n_paths // n_shifts
+        if n % n_dev:
+            raise ValueError(f"n_paths/n_shifts={n} must be divisible "
+                             f"by n_devices={n_dev}")
+        count = n // n_dev
+        sim = "scan" if interpret or count % 1024 else "pallas"
+
+        def qmc_shard_fn(pv, ep):
+            idx = jax.lax.axis_index(PATH_AXIS)
+            base = idx.astype(jnp.uint32) * jnp.uint32(count)
+            sums = qmc_replicate_payoff_sums(
+                pv, ep, k0, k1, N=N, count=count, n_shifts=n_shifts,
+                sim=sim, interpret=interpret, base=base)
+            means = jax.lax.psum(sums, PATH_AXIS) / jnp.float32(n)
+            return rqmc_moments_from_means(means, n_paths, n_shifts)
+
+        fn = jax.jit(jax.shard_map(
+            qmc_shard_fn, mesh=mesh, in_specs=(P(), P()),
+            out_specs=(P(), P()), check_vma=False,
+        ), static_argnums=())
+        return fn(params_vec, jnp.uint32(epoch))
 
     def shard_fn(pv, sw, ep):
         idx = jax.lax.axis_index(PATH_AXIS)

@@ -229,6 +229,49 @@ def boxmuller(u1, u2):
     return r * c, r * s
 
 
+# Fast inverse normal CDF — the QMC engine's monotone u -> z map.
+# XLA's jax.scipy.special.ndtri (Wichura AS241, rationals + divides)
+# costs ~50-60 VPU ops per eval and dominated the whole QMC point
+# pipeline (measured ~65 ms of a ~122 ms run at 2^19 x 1000 on v5e).
+# Construction: substitute s = sqrt(-2 ln(min(u, 1-u))) — the exact
+# tail asymptote — and fit |z| = g(s) with TWO degree-7 polynomials
+# (benchmarks/fit_polys.py fitter; split at s = 2.6, i.e. |z| ~ 2.1).
+# g is smooth on the whole range (g -> 0 as u -> 1/2), so no central
+# branch, no divisions, and all coefficients are O(1) — f32-stable
+# (Acklam's classic rational has +-276 alternating coefficients that
+# lose ~1e-4 to f32 cancellation).  Max |z| error 2.3e-6.
+_NDTRI_LO = tuple(np.float32(x) for x in        # s in [sqrt(2 ln 2), 2.6]
+                  (-2.5742833614349365, 3.7063958644866943,
+                   -2.4668259620666504, 1.5879123210906982,
+                   -0.6822224855422974, 0.18576109409332275,
+                   -0.028967037796974182, 0.0019696212839335203))
+_NDTRI_HI = tuple(np.float32(x) for x in        # s in [2.6, 6.5]
+                  (-1.9839493036270142, 2.074390172958374,
+                   -0.4344251751899719, 0.11815280467271805,
+                   -0.02104499191045761, 0.002353857271373272,
+                   -0.00014995710807852447, 4.1502166823192965e-06))
+
+
+def ndtri_fast(u):
+    """Inverse normal CDF, float32, max abs error 2.3e-6 on z.
+
+    Valid for u in [2^-26, 1 - 2^-26] (|z| <= 6.24; the Sobol' map
+    u01_from_words emits [2^-24, 1 - 2^-24]).  ~2x fewer VPU ops than
+    jax.scipy.special.ndtri; distortion is two orders below the RQMC
+    CI at any measured size (tests/test_qmc.py)."""
+    u = u.astype(jnp.float32)
+    pm = jnp.minimum(u, np.float32(1.0) - u)
+    s = jnp.sqrt(neg2log(jnp.maximum(pm, np.float32(1e-38))))
+    lo = _NDTRI_LO[-1]
+    for c_ in _NDTRI_LO[-2::-1]:
+        lo = lo * s + c_
+    hi = _NDTRI_HI[-1]
+    for c_ in _NDTRI_HI[-2::-1]:
+        hi = hi * s + c_
+    g = jnp.where(s < np.float32(2.6), lo, hi)
+    return jnp.where(u > np.float32(0.5), g, -g)
+
+
 def normal4_from_bits(x0, x1, x2, x3, box: str = "hc"):
     """Four uint32 words -> four N(0,1) floats via two Box–Muller pairs.
 

@@ -52,9 +52,10 @@ def direction_numbers(d: int) -> np.ndarray:
     return np.ascontiguousarray(sv[:, :BITS], dtype=np.uint32)
 
 
-def gray_codes(n: int, base: int = 0):
-    """Gray codes of point indices base..base+n-1 as a (n,) uint32."""
-    i = jnp.arange(base, base + n, dtype=jnp.uint32)
+def gray_codes(n: int, base=0):
+    """Gray codes of point indices base..base+n-1 as a (n,) uint32
+    (base may be traced)."""
+    i = jnp.arange(n, dtype=jnp.uint32) + jnp.asarray(base, jnp.uint32)
     return i ^ (i >> np.uint32(1))
 
 
@@ -72,6 +73,65 @@ def sobol_dims_u32(gray, v_block):
         bit = (gray >> np.uint32(b)) & np.uint32(1)
         x = x ^ (bit[None, :] * v[:, b][:, None])
     return x
+
+
+def sobol_dims_u32_hilo(n: int, v_block, lo_bits: int | None = None,
+                        base=0):
+    """Raw Sobol' words for points 0..n-1 via hi/lo index factoring.
+
+    Sobol' generation is GF(2)-LINEAR in the Gray code: with
+    y(c) = XOR of direction columns over c's set bits,
+
+        x(i) = y(gray(i)) = y(code_hi(h)) ^ y(glo(l)),
+        i = h * 2^b + l,  l < 2^b,
+
+    because gray(i) splits bit-disjointly into a low part glo(l) =
+    l ^ (l >> 1) (within b bits, treating bit b of l as 0) and a high
+    part code_hi(h) = (h ^ (h >> 1)) << b  |  (h & 1) << (b-1)  (the
+    boundary bit b-1 of gray(i) is l_{b-1} ^ h_0).  So instead of 30
+    select-XOR passes over all n points (compute-bound, ~30 ms at
+    2^19 x 1000 dims on v5e), build y over the 2^b low codes and the
+    n/2^b high codes separately and combine with ONE broadcast XOR per
+    element — the generation drops to HBM-write speed.  Bit-identical
+    to sobol_dims_u32(gray_codes(n), v_block) (asserted in
+    tests/test_qmc.py).
+
+    v_block: (L, 30) uint32; returns (L, n) uint32 for points
+    base..base+n-1.  n must be a multiple of 2^lo_bits (default:
+    min(13, log2-floor of n)); ``base`` may be a TRACED uint32 (the
+    multi-chip sharding passes chip_index * n) but must be a multiple
+    of 2^lo_bits — point-range sharding is then exact: chip c's block
+    is bit-identical to the same slice of a single-device run.
+    """
+    v = jnp.asarray(v_block, jnp.uint32)
+    L = v.shape[0]
+    if lo_bits is None:
+        lo_bits = min(13, max((n & -n).bit_length() - 1, 0))
+    b = lo_bits
+    nlo = 1 << b
+    if b == 0 or n % nlo:
+        # degenerate/unaligned: fall back to the direct ladder
+        return sobol_dims_u32(gray_codes(n, base=base), v_block)
+    nhi = n >> b
+
+    lo = jnp.arange(nlo, dtype=jnp.uint32)
+    glo = lo ^ (lo >> np.uint32(1))             # bit b of lo treated as 0
+    xlo = jnp.zeros((L, nlo), jnp.uint32)
+    for k in range(b):
+        bit = (glo >> np.uint32(k)) & np.uint32(1)
+        xlo = xlo ^ (bit[None, :] * v[:, k][:, None])
+
+    hi = jnp.asarray(base, jnp.uint32) // np.uint32(nlo) \
+        + jnp.arange(nhi, dtype=jnp.uint32)
+    code_hi = ((hi ^ (hi >> np.uint32(1))) << np.uint32(b)) \
+        | ((hi & np.uint32(1)) << np.uint32(b - 1))
+    xhi = jnp.zeros((L, nhi), jnp.uint32)
+    for k in range(b - 1, BITS):
+        bit = (code_hi >> np.uint32(k)) & np.uint32(1)
+        xhi = xhi ^ (bit[None, :] * v[:, k][:, None])
+
+    x = xhi[:, :, None] ^ xlo[:, None, :]
+    return x.reshape(L, n)
 
 
 def digital_shifts(dim_idx, epoch, k0, k1):

@@ -137,3 +137,30 @@ def test_sharded_em_conditional_matches_single(mesh8):
                             engine="pallas", conditional=True,
                             interpret=True)
     assert float(m8) == pytest.approx(float(m1), rel=2e-6)
+
+
+def test_sharded_qmc_matches_single(mesh8):
+    """Point-index-range sharding of the QMC engine (round-3 VERDICT
+    next-step #3): the 8-chip run consumes bit-identical slices of the
+    single-device randomized point set, so the psum'd replicate means
+    reproduce the single-device result to f32 summation tolerance."""
+    from nmch_tpu.ops.fe_qmc import fe_moments_qmc
+    k0, k1 = split_seed(1234)
+    m1, m21 = fe_moments_qmc(P.as_array(), jnp.uint32(3), k0, k1,
+                             N=16, n_paths=8 * 4096, sim="scan")
+    m8, m28 = sharded_moments(mesh8, P.as_array(), seed=1234, epoch=3,
+                              N=16, n_paths=8 * 4096, engine="qmc",
+                              interpret=True)
+    assert float(m8) == pytest.approx(float(m1), rel=2e-6)
+    assert float(m28) == pytest.approx(float(m21), rel=2e-4)
+
+
+def test_sharded_qmc_validation(mesh8):
+    with pytest.raises(ValueError, match="qmc"):
+        sharded_moments(mesh8, P.as_array(), seed=1, epoch=0, N=8,
+                        n_paths=8 * 16 * 8, method="em", engine="qmc",
+                        interpret=True)
+    with pytest.raises(ValueError, match="rot"):
+        sharded_moments(mesh8, P.as_array(), seed=1, epoch=0, N=8,
+                        n_paths=8 * 16 * 8, engine="qmc", rot=4,
+                        interpret=True)

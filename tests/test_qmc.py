@@ -139,3 +139,56 @@ def test_lms_scramble_preserves_net_property():
         for mp in (2, 4, 8, 12):
             cnt = np.bincount(x[j] >> (BITS - mp), minlength=1 << mp)
             assert (cnt == (1 << m) // (1 << mp)).all(), (j, mp)
+
+
+def test_sobol_hilo_matches_direct_ladder():
+    """The hi/lo GF(2)-factored generator is bit-identical to the
+    30-pass XOR ladder, including with a base offset (the multi-chip
+    point-range sharding primitive)."""
+    from nmch_tpu.rng.sobol import (
+        direction_numbers, gray_codes, sobol_dims_u32, sobol_dims_u32_hilo,
+    )
+    v = direction_numbers(32)
+    for n in (512, 4096, 65536):
+        a = np.asarray(sobol_dims_u32(gray_codes(n), v))
+        b = np.asarray(sobol_dims_u32_hilo(n, v))
+        assert (a == b).all(), n
+    # base offsets: chip c's slice == the same slice of the full set
+    full = np.asarray(sobol_dims_u32_hilo(8192, v))
+    for c in (1, 3, 7):
+        part = np.asarray(sobol_dims_u32_hilo(
+            1024, v, base=jnp.uint32(c * 1024)))
+        assert (part == full[:, c * 1024:(c + 1) * 1024]).all(), c
+
+
+def test_ndtri_fast_accuracy_and_monotonicity():
+    """The QMC engine's divisionless inverse CDF: < 5e-6 absolute on z
+    over the u01_from_words range, monotone (sorted u -> sorted z)."""
+    from scipy.special import ndtri as scipy_ndtri
+    from nmch_tpu.rng.normal import ndtri_fast
+    rng = np.random.default_rng(11)
+    u = np.concatenate([
+        rng.uniform(2 ** -24, 1 - 2 ** -24, 1 << 20),
+        np.logspace(-7.2, -0.31, 20001),
+        1 - np.logspace(-7.2, -0.31, 20001),
+    ]).astype(np.float32)
+    u = np.sort(u[(u > 0) & (u < 1)])
+    z = np.asarray(jax.jit(ndtri_fast)(jnp.asarray(u)), np.float64)
+    zt = scipy_ndtri(u.astype(np.float64))
+    assert np.abs(z - zt).max() < 5e-6
+    assert (np.diff(z) > -1e-5).all()
+
+
+def test_qmc_pallas_sim_matches_scan_sim():
+    """The fused Pallas path simulator (interpret mode) reproduces the
+    XLA scan simulator's moments."""
+    from nmch_tpu.ops.fe_qmc import fe_moments_qmc
+    from nmch_tpu.params import HestonParams
+    p = HestonParams().as_array()
+    m1, m21 = fe_moments_qmc(p, jnp.uint32(1), K0, K1, N=16,
+                             n_paths=8 * 2048, sim="scan")
+    m2, m22 = fe_moments_qmc(p, jnp.uint32(1), K0, K1, N=16,
+                             n_paths=8 * 2048, sim="pallas",
+                             interpret=True)
+    assert float(m2) == pytest.approx(float(m1), rel=2e-6)
+    assert float(m22) == pytest.approx(float(m21), rel=2e-4)
