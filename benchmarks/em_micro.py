@@ -29,6 +29,10 @@ def main() -> int:
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--variants", default=(
         "philox:0,philox:1,threefry4:0,threefry4:1"))
+    ap.add_argument("--poisson-cuts", default="128",
+                    help="comma list of poisson_cut values to sweep "
+                         "(default 128 = the shipping method default; "
+                         "'none' = curand-parity 4000)")
     ap.add_argument("--tile", type=int, default=None)
     ap.add_argument("--csv", default=None)
     args = ap.parse_args()
@@ -43,9 +47,13 @@ def main() -> int:
     sw = jnp.stack([jnp.uint32(k0), jnp.uint32(k1)])
     on_tpu = jax.default_backend() in ("tpu", "axon")
 
-    lines = ["rng,conditional,ms,gpathsteps,price,ci_error"]
+    cuts = [None if c in ("", "none") else float(c)
+            for c in args.poisson_cuts.split(",")]
+
+    lines = ["rng,conditional,poisson_cut,ms,gpathsteps,price,ci_error"]
     print(lines[0], flush=True)
     for spec in args.variants.split(","):
+      for cut in cuts:
         rng, cond = spec.split(":")
         cond = bool(int(cond))
 
@@ -54,7 +62,7 @@ def main() -> int:
                 params, sw, jnp.uint32(epoch), jnp.uint32(0),
                 N=args.N, n_paths=args.n_paths, rng=rng,
                 conditional=cond, tile_rows=args.tile,
-                interpret=not on_tpu)
+                poisson_cut=cut, interpret=not on_tpu)
 
         try:
             jax.device_get(run(0))
@@ -63,14 +71,14 @@ def main() -> int:
             vals = jax.device_get(outs)
             dt = (time.perf_counter() - t0) / args.reps
         except Exception as e:
-            line = f"{rng},{int(cond)},ERROR,{type(e).__name__},,"
+            line = f"{rng},{int(cond)},{cut},ERROR,{type(e).__name__},,"
             print(line, flush=True)
             lines.append(line)
             continue
         m, m2 = (float(v) for v in vals[-1])
         res = SimResult(m, m2, args.n_paths)
         g = args.n_paths * args.N / dt / 1e9
-        line = (f"{rng},{int(cond)},{dt*1e3:.1f},{g:.3f},{m:.6f},"
+        line = (f"{rng},{int(cond)},{cut},{dt*1e3:.1f},{g:.3f},{m:.6f},"
                 f"{res.ci_error:.2e}")
         print(line, flush=True)
         lines.append(line)

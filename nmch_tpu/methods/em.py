@@ -42,9 +42,13 @@ class NMCH_EM(NMCH):
 
         poisson_cut: lambda above which the variance transition's
         Poisson mixture index uses the one-round normal approximation
-        instead of PTRS rejection (None = curand's 4000).  See
-        ops/em.py::em_path_law for the accuracy analysis; the measured
-        fast setting is 128."""
+        instead of PTRS rejection.  None = the shipping default 128
+        (measured: ~1.4x faster EM at the headline config with price
+        shift below the 95% CI — ops/em.py::em_path_law for the
+        accuracy analysis, tests/test_em.py::
+        test_em_poisson_cut_price_parity for the assertion).  Pass
+        4000.0 for strict curand-parity switching (the reference's
+        curand_poisson regime, NMCH_EM.cu:102)."""
         super().__init__(cfg, params)
         if engine not in ("pallas", "scan"):
             raise ValueError(f"unknown engine {engine!r}")
@@ -55,7 +59,8 @@ class NMCH_EM(NMCH):
         self.engine = engine
         self.rng = rng
         self.conditional = conditional
-        self.poisson_cut = poisson_cut
+        # method-level fast default; ops-level None stays curand's 4000
+        self.poisson_cut = 128.0 if poisson_cut is None else poisson_cut
         if interpret is None:
             interpret = jax.default_backend() not in ("tpu", "axon")
         self.interpret = interpret

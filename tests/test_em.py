@@ -171,3 +171,56 @@ def test_em_conditional_method_api():
     m.init(7)
     res = m.compute()
     assert 0.08 < res.price < 0.16
+
+
+def test_em_poisson_cut_price_parity():
+    """Dropping the Poisson normal-approximation switch from curand's
+    4000 to the shipping default 128 must not move the price beyond
+    Monte Carlo noise (the Gamma(d + N_p) mixture smooths the
+    O(1/sqrt(lam)) CDF error of the normal branch — ops/em.py).
+
+    N=128 makes the per-step lambda ~ 2 v/(sigma^2 dt) ~ 280 at the
+    default params, so the cut=128 run takes the normal branch on
+    essentially every step while cut=4000 runs pure PTRS; the two
+    consume different draw counts, so the runs are independent samples
+    and the bound is the combined 3-sigma CI."""
+    import jax
+    n_paths, N = 16384, 128
+    k0, k1 = split_seed(1234)
+    fn = jax.jit(em_moments_scan, static_argnums=(1, 6, 7, 8))
+    m_fast, m2_fast = fn(P.as_array(), N, path_index_grid(n_paths),
+                         jnp.uint32(0), k0, k1, "philox", True, 128.0)
+    m_ref, m2_ref = fn(P.as_array(), N, path_index_grid(n_paths),
+                       jnp.uint32(0), k0, k1, "philox", True, 4000.0)
+    fast = SimResult(float(m_fast), float(m2_fast), n_paths)
+    ref = SimResult(float(m_ref), float(m2_ref), n_paths)
+    combined = math.hypot(fast.ci_error, ref.ci_error)
+    assert abs(fast.price - ref.price) < 3.0 * combined / 1.96
+    # and both agree with the semi-analytic oracle
+    oracle = heston_call_undiscounted(P)
+    assert abs(fast.price - oracle) < 3.5 * fast.ci_error
+
+
+def test_em_poisson_cut_pallas_matches_scan():
+    """poisson_cut is plumbed identically through golden and kernel."""
+    n_paths, N = 2048, 32
+    k0, k1 = split_seed(7)
+    fn = jax.jit(em_moments_scan, static_argnums=(1, 6, 7, 8))
+    m_s, _ = fn(P.as_array(), N, path_index_grid(n_paths), jnp.uint32(0),
+                k0, k1, "philox", False, 64.0)
+    sw = jnp.stack([jnp.uint32(k0), jnp.uint32(k1)])
+    m_p, _ = em_moments_pallas(P.as_array(), sw, jnp.uint32(0),
+                               jnp.uint32(0), N=N, n_paths=n_paths,
+                               poisson_cut=64.0, interpret=True)
+    assert float(m_p) == pytest.approx(float(m_s), rel=1e-6)
+    # a different cut must change the consumed stream (different law)
+    m_s2, _ = fn(P.as_array(), N, path_index_grid(n_paths), jnp.uint32(0),
+                 k0, k1, "philox", False, 4000.0)
+    assert float(m_s2) != float(m_s)
+
+
+def test_em_method_default_poisson_cut_is_fast():
+    m = NMCH_EM(SimConfig(), P, engine="scan")
+    assert m.poisson_cut == 128.0
+    m = NMCH_EM(SimConfig(), P, engine="scan", poisson_cut=4000.0)
+    assert m.poisson_cut == 4000.0
