@@ -1,0 +1,130 @@
+"""Hardware (real Mosaic lowering) regression suite — opt-in.
+
+Run on a machine with a TPU attached:
+
+    NMCH_TPU_TESTS=1 python -m pytest tests/ -m tpu -q
+
+The ordinary suite runs every Pallas kernel with ``interpret=True`` on
+CPU, which exercises the kernel *logic* but not Mosaic's lowering —
+the layout/carry class of bugs documented in CLAUDE.md ("Mosaic: no
+bool vector while-carries; splat-initialized carries get replicated
+layouts...") only appears on real hardware.  This suite asserts the
+golden==kernel contract (scan engine and Pallas kernel consume
+bitwise-identical counter-rng draws, so moments agree to f32
+accumulation tolerance) with the actual compiled kernels.
+
+Notes for operators (CLAUDE.md "Environment gotchas"):
+- first compile of a counter-rng kernel at a new (N, n_paths) shape
+  takes ~80-200 s; the remote compile server caches across processes,
+  so a re-run is seconds.  Budget ~10 min for a cold first run.
+- run solo (one TPU job at a time on the tunneled chip).
+"""
+
+import os
+
+import pytest
+
+pytestmark = pytest.mark.tpu
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+if os.environ.get("NMCH_TPU_TESTS") != "1":
+    pytest.skip("set NMCH_TPU_TESTS=1 (with a real TPU) to run",
+                allow_module_level=True)
+
+from nmch_tpu.params import HestonParams  # noqa: E402
+from nmch_tpu.rng.philox import split_seed  # noqa: E402
+from nmch_tpu.ops.fe import fe_moments_scan, path_index_grid  # noqa: E402
+from nmch_tpu.ops.fe_pallas import fe_moments_pallas  # noqa: E402
+from nmch_tpu.ops.em import em_moments_scan  # noqa: E402
+from nmch_tpu.ops.em_pallas import em_moments_pallas  # noqa: E402
+
+P = HestonParams()
+K0, K1 = split_seed(1234)
+SW = jnp.stack([jnp.uint32(K0), jnp.uint32(K1)])
+
+
+def _require_tpu():
+    if jax.default_backend() not in ("tpu", "axon"):
+        pytest.skip("no TPU backend attached")
+
+
+# two shapes: one square-ish, one tall-N (different Mosaic tilings)
+SHAPES = [(64, 8192), (256, 2048)]
+
+
+@pytest.mark.parametrize("rng", ["philox", "threefry4"])
+@pytest.mark.parametrize("N,n_paths", SHAPES)
+def test_fe_golden_equals_kernel_on_hw(rng, N, n_paths):
+    _require_tpu()
+    m_s, m2_s = jax.jit(fe_moments_scan, static_argnums=(1, 6))(
+        P.as_array(), N, path_index_grid(n_paths), jnp.uint32(3),
+        K0, K1, rng)
+    m_p, m2_p = fe_moments_pallas(
+        P.as_array(), SW, jnp.uint32(3), jnp.uint32(0), N=N,
+        n_paths=n_paths, rng=rng, interpret=False)
+    assert float(m_p) == pytest.approx(float(m_s), rel=1e-6)
+    assert float(m2_p) == pytest.approx(float(m2_s), rel=1e-6)
+
+
+def test_fe_rot4_golden_equals_kernel_on_hw():
+    _require_tpu()
+    from nmch_tpu.ops.fe import fe_moments_rot_scan
+    N, n_paths = 64, 4096
+    m_s, m2_s = jax.jit(fe_moments_rot_scan, static_argnums=(1, 6, 7))(
+        P.as_array(), N, path_index_grid(n_paths), jnp.uint32(1),
+        K0, K1, "philox", 4)
+    m_p, m2_p = fe_moments_pallas(
+        P.as_array(), SW, jnp.uint32(1), jnp.uint32(0), N=N,
+        n_paths=n_paths, rng="philox", rot=4, interpret=False)
+    assert float(m_p) == pytest.approx(float(m_s), rel=1e-6)
+    assert float(m2_p) == pytest.approx(float(m2_s), rel=1e-6)
+
+
+def test_fe_kernel_deterministic_across_runs_on_hw():
+    """Sequential-grid Kahan accumulation: bitwise-stable re-runs."""
+    _require_tpu()
+    N, n_paths = 64, 8192
+    outs = [fe_moments_pallas(P.as_array(), SW, jnp.uint32(5),
+                              jnp.uint32(0), N=N, n_paths=n_paths,
+                              rng="philox", interpret=False)
+            for _ in range(2)]
+    (a, a2), (b, b2) = (jax.device_get(o) for o in outs)
+    assert float(a) == float(b) and float(a2) == float(b2)
+
+
+@pytest.mark.parametrize("conditional", [False, True])
+def test_em_golden_equals_kernel_on_hw(conditional):
+    _require_tpu()
+    N, n_paths = 32, 4096
+    m_s, m2_s = jax.jit(em_moments_scan, static_argnums=(1, 6, 7))(
+        P.as_array(), N, path_index_grid(n_paths), jnp.uint32(2),
+        K0, K1, "threefry4", conditional)
+    m_p, m2_p = em_moments_pallas(
+        P.as_array(), SW, jnp.uint32(2), jnp.uint32(0), N=N,
+        n_paths=n_paths, rng="threefry4", conditional=conditional,
+        interpret=False)
+    assert float(m_p) == pytest.approx(float(m_s), rel=1e-6)
+    assert float(m2_p) == pytest.approx(float(m2_s), rel=1e-6)
+
+
+def test_hw_prng_rot4_prices_sanely_on_hw():
+    """rng='tpu' (hardware PRNG) has no golden twin by design; assert
+    the statistical contract: price within CI of the oracle and
+    distinct across epochs."""
+    _require_tpu()
+    from nmch_tpu.oracle import heston_call_undiscounted
+    from nmch_tpu.results import SimResult
+    N, n_paths = 64, 8192
+    outs = [fe_moments_pallas(P.as_array(), SW, jnp.uint32(e),
+                              jnp.uint32(0), N=N, n_paths=n_paths,
+                              rng="tpu", rot=4, box="hc16f",
+                              fast_sqrt=True, interpret=False)
+            for e in (0, 1)]
+    (m0, m20), (m1, _) = (jax.device_get(o) for o in outs)
+    res = SimResult(float(m0), float(m20), 4 * n_paths)
+    oracle = heston_call_undiscounted(P)
+    # FE at N=64 carries O(dt) bias; allow CI + discretization margin
+    assert abs(res.price - oracle) < 5 * res.ci_error + 2e-3
+    assert float(m0) != float(m1)
