@@ -17,7 +17,11 @@ and *rng* backends:
     rng="philox" (default)    — counter-based Philox4x32-10 (what the
                                 reference's default kernels use), same
                                 bitstream in both engines;
-    rng="tpu"                 — hardware PRNG, fastest (pallas only).
+    rng="tpu"                 — hardware PRNG, fastest (pallas only);
+    rng="mrg32k3a"            — L'Ecuyer combined MRG with matrix
+                                skip-ahead (scan only) — the
+                                reference's third curand family
+                                (random.cu:12-13, rng/mrg32k3a.py).
 
 The MM/PgM/PiM memory ladder is N/A on TPU (results live in device
 memory and stream back as two floats; there is no host-pinned/managed
@@ -47,6 +51,12 @@ _scan_jit = jax.jit(fe_moments_scan, static_argnums=(1, 6))
 _scan_rot_jit = jax.jit(fe_moments_rot_scan, static_argnums=(1, 6, 7))
 
 
+def _mrg_jit(pv, N, pidx, epoch, seed):
+    from ..ops.fe_mrg import fe_moments_mrg
+    return jax.jit(fe_moments_mrg, static_argnums=(1, 4))(
+        pv, N, pidx, epoch, seed)
+
+
 class NMCH_FE(NMCH):
     """Euler-scheme pricer with the reference's 5-step lifecycle."""
 
@@ -55,7 +65,8 @@ class NMCH_FE(NMCH):
     def __init__(self, cfg: SimConfig, params: HestonParams,
                  engine: str = "pallas", rng: str = "philox",
                  antithetic: bool = False, rot: int | None = None,
-                 interpret: bool | None = None):
+                 interpret: bool | None = None,
+                 scramble: str = "lms-shift"):
         """rot in {1, 2, 4, 8}: rotation-coupled copies per lane (variance
         reduction beyond the reference, ops/fe.py::rotation_images).
         rot=2 == antithetic=True (a +/-G pair per lane); rot=4 adds
@@ -74,11 +85,27 @@ class NMCH_FE(NMCH):
                 raise ValueError("engine='qmc' uses Sobol' points with "
                                  "Philox digital shifts; rng must stay "
                                  "'philox'")
-        if rng not in ("philox", "threefry", "threefry4", "tpu"):
+            if scramble not in ("lms-shift", "shift", "owen"):
+                raise ValueError(f"unknown scramble {scramble!r}")
+        elif scramble != "lms-shift":
+            raise ValueError("scramble= applies to engine='qmc' only")
+        self.scramble = scramble
+        if rng not in ("philox", "threefry", "threefry4", "tpu",
+                       "mrg32k3a"):
             raise ValueError(f"unknown rng {rng!r}")
         if rng == "tpu" and engine != "pallas":
             raise ValueError("rng='tpu' requires engine='pallas' (the "
                              "golden scan engine is philox-only)")
+        if rng == "mrg32k3a":
+            # stateful recurrence carried in the scan loop; the Pallas
+            # kernels keep the counter-based ladder (rng/mrg32k3a.py
+            # module docstring for the design rationale)
+            if engine != "scan":
+                raise ValueError("rng='mrg32k3a' requires engine='scan'")
+            if rot not in (None, 1) or antithetic:
+                raise ValueError("rng='mrg32k3a' has no rot/antithetic "
+                                 "variants (parity family; use the "
+                                 "counter rngs for rotation sampling)")
         if rot is None:
             rot = 2 if antithetic else 1
         elif antithetic and rot == 1:
@@ -120,7 +147,8 @@ class NMCH_FE(NMCH):
                    and (self.cfg.n_paths // 8) % 1024 == 0 else "scan")
             return fe_moments_qmc(pv, jnp.uint32(epoch), k0, k1,
                                   N=self.cfg.N, n_paths=self.cfg.n_paths,
-                                  sim=sim, interpret=self.interpret)
+                                  sim=sim, scramble=self.scramble,
+                                  interpret=self.interpret)
         if self.engine == "pallas":
             sw = jnp.stack([jnp.uint32(k0), jnp.uint32(k1)])
             return fe_moments_pallas(
@@ -129,6 +157,9 @@ class NMCH_FE(NMCH):
                 rng=self.rng, rot=self.rot,
                 interpret=self.interpret)
         pidx = path_index_grid(self.cfg.n_paths)
+        if self.rng == "mrg32k3a":
+            return _mrg_jit(pv, self.cfg.N, pidx, jnp.uint32(epoch),
+                            self.streams.seed)
         if self.rot > 1:
             return _scan_rot_jit(pv, self.cfg.N, pidx, jnp.uint32(epoch),
                                  k0, k1, self.rng, self.rot)

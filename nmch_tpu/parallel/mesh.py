@@ -64,6 +64,11 @@ def sharded_moments(mesh: Mesh, params_vec, seed: int, epoch, *,
                          "counter streams)")
     if method == "fe" and engine == "scan" and rng == "tpu":
         raise ValueError("rng='tpu' requires engine='pallas'")
+    if rng == "mrg32k3a":
+        raise ValueError("rng='mrg32k3a' is a single-chip parity family "
+                         "(ops/fe_mrg.py); shard with the counter rngs "
+                         "(philox/threefry/threefry4) whose disjoint "
+                         "base_path ranges make n-chip == 1-chip bitwise")
     if engine not in ("pallas", "scan", "qmc"):
         raise ValueError(
             f"unknown engine {engine!r} for sharded_moments (expected "
