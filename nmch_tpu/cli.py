@@ -6,8 +6,10 @@ the reference's *actual* defaults (NTPB=512, NB=512, N=1000, seed=1234
 — nmch.cu:52-64; the reference's --help text claims NTPB=1024/N=50,
 a documented bug we fix rather than copy, SURVEY.md §5 "config").
 
-TPU-native extras: --engine pallas|scan, --rng philox|tpu,
---antithetic (variance reduction), --json (machine output), and
+TPU-native extras: --engine pallas|scan|qmc,
+--rng philox|threefry|threefry4|tpu|mrg32k3a, --rot/--antithetic and
+--conditional (variance reduction), --poisson-cut (EM speed/accuracy
+knob), --json (machine output), and
 --oracle to print the real semi-analytic Heston price next to the
 reference's Black–Scholes-with-vol-of-vol "true price".  Multi-chip
 pricing goes through nmch_tpu.parallel (see examples/multichip.py).
@@ -49,8 +51,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--engine", choices=["pallas", "scan", "qmc"],
                default="pallas",
                help="qmc = scrambled-Sobol + Brownian bridge (FE only; error ~ n^-0.8)")
-    p.add_argument("--rng", choices=["philox", "threefry", "threefry4", "tpu"],
-                   default="philox")
+    p.add_argument("--rng", choices=["philox", "threefry", "threefry4",
+                                     "tpu", "mrg32k3a"],
+                   default="philox",
+                   help="mrg32k3a = the reference's third curand family "
+                        "(skippable-stream rebuild; needs --engine scan)")
+    p.add_argument("--poisson-cut", type=float, default=None,
+                   help="EM only: lambda above which the Poisson mixture "
+                        "index uses the one-round normal approximation "
+                        "(default 128; 4000 = strict curand-parity "
+                        "switching)")
     p.add_argument("--antithetic", action="store_true",
                    help="antithetic-variates variance reduction (FE only; "
                         "each path becomes a +/-G pair, CI typically "
@@ -64,6 +74,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "expectation of the payoff given the variance "
                         "path (conditional Monte Carlo; ~1.9x smaller "
                         "CI at the same path count)")
+    p.add_argument("--scramble", choices=["lms-shift", "shift", "owen"],
+                   default="lms-shift",
+                   help="QMC randomization (--engine qmc only): "
+                        "lms-shift (default), shift, or owen "
+                        "(hash-based full Owen scrambling)")
     p.add_argument("--oracle", action="store_true",
                    help="also print the semi-analytic Heston price")
     p.add_argument("--no-warmup", action="store_true",
@@ -88,8 +103,12 @@ def run(argv=None) -> int:
         kwargs["rng"] = args.rng
         kwargs["antithetic"] = args.antithetic
         kwargs["rot"] = args.rot
+        kwargs["scramble"] = args.scramble
         if args.conditional:
             print("note: --conditional is EM-only; ignoring",
+                  file=sys.stderr)
+        if args.poisson_cut is not None:
+            print("note: --poisson-cut is EM-only; ignoring",
                   file=sys.stderr)
     else:
         if args.rng in ("philox", "threefry4"):
@@ -101,6 +120,7 @@ def run(argv=None) -> int:
             print("note: --antithetic/--rot are FE-only; ignoring",
                   file=sys.stderr)
         kwargs["conditional"] = args.conditional
+        kwargs["poisson_cut"] = args.poisson_cut
     m = cls(cfg, params, **kwargs)
     m.init(args.seed)
     if not args.no_warmup:

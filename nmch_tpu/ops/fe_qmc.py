@@ -58,7 +58,8 @@ from ..rng.normal import ndtri_fast
 
 from ..rng.sobol import (
     direction_numbers, gray_codes, sobol_dims_u32, sobol_dims_u32_hilo,
-    digital_shifts, lms_scramble_directions, u01_from_words,
+    digital_shifts, lms_scramble_directions, owen_seeds, owen_scramble,
+    u01_from_words,
 )
 from .fe import fe_consts, fe_step
 
@@ -181,24 +182,37 @@ def qmc_increments_mxu(N: int, n: int, epoch, k0, k1, T, v_np=None,
         # shift randomization alone already unbiases each replicate, so
         # the replicate CI stays valid conditional on the scramble)
         V = lms_scramble_directions(V, epoch, k0, k1)
-    elif scramble != "shift":
+    elif scramble not in ("shift", "owen"):
         raise ValueError(f"unknown scramble {scramble!r}")
     A = jnp.asarray(bb_increment_matrix(N))
     ep0 = jnp.asarray(epoch, jnp.uint32) * np.uint32(n_shifts)
     reps = ep0 + jnp.arange(n_shifts, dtype=jnp.uint32)
-    shifts = digital_shifts(
-        jnp.arange(2 * N, dtype=jnp.uint32)[:, None], reps[None, :],
-        k0, k1)                                                  # (2N, R)
+    if scramble == "owen":
+        # full nested-uniform (Owen) randomization, hash-based: every
+        # replicate is an INDEPENDENT nonlinear scramble (rng/sobol.py
+        # ::owen_scramble), so the t-CI over replicate means holds with
+        # no shared-scramble conditioning; RMS error ~n^-1.5 on smooth
+        # integrands (vs ~n^-1 for LMS+shift)
+        keys = owen_seeds(jnp.arange(2 * N, dtype=jnp.uint32)[:, None],
+                          reps[None, :], k0, k1)                 # (2N, R)
+    else:
+        shifts = digital_shifts(
+            jnp.arange(2 * N, dtype=jnp.uint32)[:, None], reps[None, :],
+            k0, k1)                                              # (2N, R)
     sqrt_dt = jnp.sqrt(T / jnp.float32(N))
     dws = []
     for f in (0, 1):
         dims = np.arange(N) * 2 + f
         # hi/lo-factored generation (one broadcast XOR per element
         # instead of 30 select-XOR passes — HBM-speed, rng/sobol.py),
-        # with the n_shifts replicates shifted by broadcast (replicate-
-        # major along the point axis, same ordering as before)
+        # with the n_shifts replicates randomized by broadcast
+        # (replicate-major along the point axis, same ordering as
+        # before)
         x = sobol_dims_u32_hilo(n, V[dims], base=base)           # (N, n)
-        xs = x[:, None, :] ^ shifts[dims][:, :, None]            # (N,R,n)
+        if scramble == "owen":
+            xs = owen_scramble(x[:, None, :], keys[dims][:, :, None])
+        else:
+            xs = x[:, None, :] ^ shifts[dims][:, :, None]        # (N,R,n)
         z = ndtri_fast(u01_from_words(xs.reshape(N, n_shifts * n)))
         # precision HIGH (3-pass bf16) keeps f32-grade increments at
         # half the HIGHEST cost (measured 43 vs 78 ms at 2^19 x 1000;
@@ -390,20 +404,30 @@ def rqmc_moments_from_means(means, n_paths: int, n_shifts: int):
 
 
 @functools.partial(jax.jit, static_argnames=("N", "n_paths", "n_shifts",
-                                             "sim", "interpret"))
+                                             "sim", "scramble",
+                                             "interpret"))
 def fe_moments_qmc(params_vec, epoch, k0, k1, *, N: int, n_paths: int,
                    n_shifts: int = 8, sim: str = "scan",
+                   scramble: str = "lms-shift",
                    interpret: bool = False):
     """(m, m2) for the QMC engine; SimResult(m, m2, n_paths) yields the
     randomized-QMC CI (see module docstring, point 5).
 
-    n_paths points are split into ``n_shifts`` independently-shifted
+    n_paths points are split into ``n_shifts`` independently-randomized
     replicates of n_paths/n_shifts Sobol' points (same index range,
-    different digital shifts).
+    different digital shifts — or independent nested-uniform scrambles
+    with scramble="owen").
 
     sim: "scan" (pure-XLA lax.scan over steps) or "pallas" (the fused
     streaming simulator, ~5x faster at headline sizes on TPU; requires
     n_paths/n_shifts % 1024 == 0).
+
+    scramble: "lms-shift" (default: linear matrix scramble + digital
+    shifts), "shift" (shifts only), "owen" (hash-based full Owen
+    scrambling, rng/sobol.py::owen_scramble — fully independent
+    nonlinear replicates; asymptotically ~n^-1.5 on smooth integrands,
+    measured comparable to lms-shift at 2^14-2^20 on this problem —
+    benchmarks/RESULTS.md).
     """
     if sim not in ("scan", "pallas"):
         raise ValueError(f"unknown sim {sim!r} (expected 'scan' or "
@@ -420,7 +444,7 @@ def fe_moments_qmc(params_vec, epoch, k0, k1, *, N: int, n_paths: int,
     v_np = direction_numbers(2 * N)
     T = params_vec[0]
     dW1, dW2 = qmc_increments_mxu(N, n, epoch, k0, k1, T, v_np=v_np,
-                                  n_shifts=n_shifts)
+                                  n_shifts=n_shifts, scramble=scramble)
     if sim == "pallas":
         if n % 1024:
             raise ValueError(f"sim='pallas' needs n_paths/n_shifts "

@@ -19,7 +19,7 @@ Construction (Joe–Kuo direction numbers, via scipy.stats.qmc's table):
   Philox streams as everything else, keyed by (seed, epoch):
   digitally-shifted Sobol' is an *unbiased* estimator, and epochs give
   the independent randomizations whose spread yields a valid CI
-  (randomized QMC).  The +0.5/2^30 offset keeps u in (0, 1) strictly —
+  (randomized QMC).  The +0.5/2^23 offset keeps u in (0, 1) strictly —
   point 0 of the raw sequence is the origin, which would send the
   inverse normal CDF to -inf.
 
@@ -196,6 +196,61 @@ def lms_scramble_directions(v, epoch, k0, k1):
     for o in out[1:]:
         vp = vp | o
     return vp
+
+
+def _reverse_bits32(x):
+    """Bitwise reverse of u32 (classic 5-pass masked-swap ladder)."""
+    x = ((x >> np.uint32(1)) & np.uint32(0x55555555)) \
+        | ((x & np.uint32(0x55555555)) << np.uint32(1))
+    x = ((x >> np.uint32(2)) & np.uint32(0x33333333)) \
+        | ((x & np.uint32(0x33333333)) << np.uint32(2))
+    x = ((x >> np.uint32(4)) & np.uint32(0x0F0F0F0F)) \
+        | ((x & np.uint32(0x0F0F0F0F)) << np.uint32(4))
+    x = ((x >> np.uint32(8)) & np.uint32(0x00FF00FF)) \
+        | ((x & np.uint32(0x00FF00FF)) << np.uint32(8))
+    return (x >> np.uint32(16)) | (x << np.uint32(16))
+
+
+def owen_seeds(dim_idx, rep, k0, k1):
+    """Per-(dimension, replicate) scramble seeds from the (seed, epoch=
+    replicate) Philox streams; path_hi = ASCII "OWEN" labels the plane
+    (path streams keep path_hi = 0, so it is disjoint by construction,
+    like the SOBL/LMS planes above)."""
+    d = jnp.asarray(dim_idx, jnp.uint32)
+    w0, _, _, _ = philox4x32(d, jnp.asarray(rep, jnp.uint32),
+                             jnp.zeros_like(d),
+                             jnp.zeros_like(d) + np.uint32(0x4F57454E),
+                             k0, k1)
+    return w0
+
+
+def owen_scramble(x, seed):
+    """Hash-based nested-uniform (Owen) scramble of 30-bit Sobol'
+    words, elementwise; ``seed`` broadcasts against ``x``.
+
+    Laine–Karras-style hash (Laine & Karras 2011, "Stratified sampling
+    for stochastic transparency"; constants and seeding per Burley
+    2020, "Practical Hash-based Owen Scrambling", JCGT 9(4)) applied
+    in the reversed-bit domain: adds and even-constant multiply-xors
+    only propagate carries toward HIGHER bits, which after the
+    surrounding reversals are the FINER digits — so output digit i
+    depends only on input digits coarser-or-equal to i plus the seed,
+    exactly Owen's nested uniform permutation tree (hash-realized).
+    Unlike LMS+shift (linear in GF(2)), this is a *nonlinear* per-node
+    permutation — the full Owen randomization whose RMS error scales
+    ~n^-1.5 on smooth integrands instead of ~n^-1.
+
+    30-bit words are lifted to 32-bit fractions (<< 2) for the hash;
+    the two sub-resolution digits the hash may flip are below
+    u01_from_words' 23-bit truncation anyway.
+    """
+    v = _reverse_bits32(x << np.uint32(2))
+    v = v + seed
+    v = v ^ v * np.uint32(0x6C50B47C)
+    v = v ^ v * np.uint32(0xB82F1E52)
+    v = v ^ v * np.uint32(0xC7AFE638)
+    v = v ^ v * np.uint32(0x8D22F6E6)
+    return _reverse_bits32(v) >> np.uint32(2)
 
 
 def u01_from_words(x):

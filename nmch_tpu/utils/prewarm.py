@@ -23,20 +23,33 @@ import jax
 import jax.numpy as jnp
 
 
-def prewarm(rng: str = "philox", block: bool = True):
-    """Compile a tiny FE kernel of the given rng family (256 paths x
-    N=4) so later real-shape compiles are ~1 s.  Returns the Thread
-    when block=False, else None."""
+def prewarm(rng: str = "philox", block: bool = True,
+            engine: str = "pallas"):
+    """Compile a tiny kernel of the given family so later real-shape
+    compiles are ~1 s.  engine="pallas" warms the FE kernel of ``rng``;
+    engine="qmc" warms the QMC point pipeline + fused simulator (whose
+    first hardware compile otherwise lands on the first real
+    compute(), measured ~8 min at 2^20; the tiny warm-up absorbs the
+    family cost).  Returns the Thread when block=False, else None."""
     def _go():
         from ..params import HestonParams
         from ..rng.philox import split_seed
-        from ..ops.fe_pallas import fe_moments_pallas
         k0, k1 = split_seed(0)
-        sw = jnp.stack([jnp.uint32(k0), jnp.uint32(k1)])
         on_tpu = jax.default_backend() in ("tpu", "axon")
-        m, m2 = fe_moments_pallas(
-            HestonParams().as_array(), sw, jnp.uint32(0), jnp.uint32(0),
-            N=4, n_paths=256, rng=rng, interpret=not on_tpu)
+        if engine == "qmc":
+            from ..ops.fe_qmc import fe_moments_qmc
+            m, m2 = fe_moments_qmc(
+                HestonParams().as_array(), jnp.uint32(0), k0, k1,
+                N=4, n_paths=8 * 1024,
+                sim="pallas" if on_tpu else "scan",
+                interpret=not on_tpu)
+        else:
+            from ..ops.fe_pallas import fe_moments_pallas
+            sw = jnp.stack([jnp.uint32(k0), jnp.uint32(k1)])
+            m, m2 = fe_moments_pallas(
+                HestonParams().as_array(), sw, jnp.uint32(0),
+                jnp.uint32(0), N=4, n_paths=256, rng=rng,
+                interpret=not on_tpu)
         jax.device_get((m, m2))
 
     if block:
