@@ -104,3 +104,30 @@ def test_print_stats_reference_format(capsys):
         "error associated to a confidence interval of 95% = ")
     assert lines[17].startswith("Execution time ")
     assert lines[18].startswith("Initialization time ")
+
+
+@pytest.mark.parametrize("name", ["fe", "em"])
+def test_print_stats_golden_file(name, capsys):
+    """The full stats block is a parity artifact (NMCH.cu:13-28 +
+    NMCH_FE.cu:333-350 / NMCH_EM.cu:398-414): byte-for-byte golden
+    comparison (timing lines normalized; the scan engine on CPU is
+    deterministic for a fixed seed).  Regenerate with the snippet in
+    the golden file's sibling README if the stream contract ever
+    changes intentionally."""
+    import re
+    import pathlib
+    from nmch_tpu.methods.em import NMCH_EM
+    cls = {"fe": NMCH_FE, "em": NMCH_EM}[name]
+    m = cls(SimConfig(NTPB=512, NB=2, N=100), HestonParams(),
+            engine="scan")
+    m.init(1)
+    m.compute()
+    m.print_stats()
+    out = capsys.readouterr().out
+    out = re.sub(r"^(Execution time ).*( ms)$", r"\1<TIME>\2", out,
+                 flags=re.M)
+    out = re.sub(r"^(Initialization time ).*( ms)$", r"\1<TIME>\2", out,
+                 flags=re.M)
+    golden = (pathlib.Path(__file__).parent / "golden"
+              / f"print_stats_{name}.txt").read_text()
+    assert out == golden
