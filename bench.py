@@ -19,6 +19,10 @@ Reported keys (round-3 VERDICT next-step #6 — raw AND error-matched):
                          as fe_variance_ratio).
   plain_value/_vs_baseline  the rot=1 kernel — the strict apples-to-
                          apples iid number.
+  rot8_value/_vs_baseline  the rot=8 raw-throughput-max variant (group
+                         variance ratio ~0.96: break-even with iid —
+                         fair as raw throughput, no error-matched
+                         bonus).
   fe_error_matched       time-to-equal-CI multiple vs the reference for
                          the rot=4 estimator = vs_baseline x
                          fe_variance_ratio.
@@ -95,6 +99,9 @@ def main() -> None:
 
     throughput, price, var_y = timed(ROT)
     plain, _, var_x = timed(1)
+    rot8, _, _ = timed(8)      # raw-throughput-max variant (its group-
+    # variance ratio is ~0.96 — break-even with iid, so its raw number
+    # is ~fair but carries no error-matched bonus; RESULTS.md)
 
     # group-variance ratio: var(X_iid) / (rot * var(Y_rot)); >= 1 means
     # counting rotated copies as path-steps is conservative
@@ -125,6 +132,8 @@ def main() -> None:
         "vs_baseline": round(throughput / BASELINE, 4),
         "plain_value": round(plain, 1),
         "plain_vs_baseline": round(plain / BASELINE, 4),
+        "rot8_value": round(rot8, 1),
+        "rot8_vs_baseline": round(rot8 / BASELINE, 4),
         "fe_variance_ratio": round(ratio, 3),
         "fe_error_matched": round(ratio * throughput / BASELINE, 2),
         "qmc_value": round(qmc_g, 1),
