@@ -47,10 +47,16 @@ def main() -> int:
 
     lines = ["n_points,N,ms,ci_error,t_ref_ms,speedup_error_matched"]
     print(lines[0], flush=True)
+    on_tpu = jax.default_backend() in ("tpu", "axon")
     for n in (int(x) for x in args.paths.split(",")):
+        # the fused streaming simulator when on hardware and the
+        # replicate size tiles (methods/fe.py uses the same rule)
+        sim = "pallas" if on_tpu and (n // 8) % 1024 == 0 else "scan"
+
         def run(epoch):
             return fe_moments_qmc(params, jnp.uint32(epoch), k0, k1,
-                                  N=args.N, n_paths=n)
+                                  N=args.N, n_paths=n, sim=sim,
+                                  interpret=not on_tpu)
         jax.device_get(run(0))
         t0 = time.perf_counter()
         outs = [run(1 + i) for i in range(args.reps)]

@@ -48,6 +48,10 @@ def main():
     for label, kwargs in (
         ("FE rot=4 rotation sampling (headline)", dict(rot=4)),
         ("FE scrambled-Sobol + Brownian bridge", dict(engine="qmc")),
+        ("FE QMC with full Owen scrambling", dict(engine="qmc",
+                                                  scramble="owen")),
+        ("FE MRG32k3a (curand's third family)", dict(engine="scan",
+                                                     rng="mrg32k3a")),
     ):
         m = NMCH_FE(cfg, params, **kwargs)
         m.init(seed=1234)

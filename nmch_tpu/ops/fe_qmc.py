@@ -370,7 +370,7 @@ def qmc_payoff_sums_pallas(params_vec, dW1, dW2, n_shifts: int, *,
 def qmc_replicate_payoff_sums(params_vec, epoch, k0, k1, *, N: int,
                               count: int, n_shifts: int = 8,
                               sim: str = "scan", interpret: bool = False,
-                              base=0):
+                              scramble: str = "lms-shift", base=0):
     """Per-replicate payoff sums over Sobol' points [base, base+count)
     of each of the n_shifts shifted replicates — the shardable unit of
     the QMC engine (parallel/mesh.py gives each chip a disjoint
@@ -380,7 +380,8 @@ def qmc_replicate_payoff_sums(params_vec, epoch, k0, k1, *, N: int,
     v_np = direction_numbers(2 * N)
     T = params_vec[0]
     dW1, dW2 = qmc_increments_mxu(N, count, epoch, k0, k1, T, v_np=v_np,
-                                  n_shifts=n_shifts, base=base)
+                                  n_shifts=n_shifts, scramble=scramble,
+                                  base=base)
     if sim == "pallas":
         s, _ = qmc_payoff_sums_pallas(params_vec, dW1, dW2, n_shifts,
                                       interpret=interpret)
@@ -441,20 +442,33 @@ def fe_moments_qmc(params_vec, epoch, k0, k1, *, N: int, n_paths: int,
         raise ValueError(f"n_paths={n_paths} must be divisible by "
                          f"n_shifts={n_shifts}")
     n = n_paths // n_shifts
-    v_np = direction_numbers(2 * N)
-    T = params_vec[0]
-    dW1, dW2 = qmc_increments_mxu(N, n, epoch, k0, k1, T, v_np=v_np,
-                                  n_shifts=n_shifts, scramble=scramble)
+    if sim == "pallas" and n % 1024:
+        raise ValueError(f"sim='pallas' needs n_paths/n_shifts "
+                         f"(= {n}) to be a multiple of 1024")
+    # chunk the point axis so the (N, n_shifts*chunk) increment
+    # matrices stay well under HBM (an unchunked 2^22-point x N=1000
+    # run wants ~34 GB of temps and OOMs a v5e); each chunk is a
+    # disjoint point-index range of the same randomized set, exactly
+    # like the multi-chip sharding (parallel/mesh.py), so chunking
+    # changes the schedule, not the estimate
+    chunk = n
+    while chunk * n_shifts * N > (1 << 29):   # ~2 GB of f32 per factor
+        if chunk % 2:
+            break
+        chunk //= 2
     if sim == "pallas":
-        if n % 1024:
-            raise ValueError(f"sim='pallas' needs n_paths/n_shifts "
-                             f"(= {n}) to be a multiple of 1024")
-        s, _ = qmc_payoff_sums_pallas(params_vec, dW1, dW2, n_shifts,
-                                      interpret=interpret)
-        means = s / jnp.float32(n)
-    else:
-        payoff = _sim_payoff(params_vec, N, dW1, dW2)
-        means = jnp.mean(payoff.reshape(n_shifts, n), axis=1)
+        while chunk % 1024 and chunk < n:
+            chunk *= 2
+    if n % chunk:
+        chunk = n
+    sums = None
+    for c in range(n // chunk):
+        s = qmc_replicate_payoff_sums(
+            params_vec, epoch, k0, k1, N=N, count=chunk,
+            n_shifts=n_shifts, sim=sim, interpret=interpret,
+            scramble=scramble, base=np.uint32(c * chunk))
+        sums = s if sums is None else sums + s
+    means = sums / jnp.float32(n)
     # m2 synthesized so SimResult's 1.96*sqrt((m2-m^2)/n) returns the
     # honest RQMC 95% CI (Student-t over the R shift replicates)
     return rqmc_moments_from_means(means, n_paths, n_shifts)

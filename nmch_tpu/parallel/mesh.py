@@ -45,7 +45,8 @@ def sharded_moments(mesh: Mesh, params_vec, seed: int, epoch, *,
                     N: int, n_paths: int, method: str = "fe",
                     engine: str = "pallas", interpret: bool = False,
                     rng: str = "philox", rot: int = 1,
-                    conditional: bool = False):
+                    conditional: bool = False,
+                    scramble: str = "lms-shift"):
     """(E[X], E[X^2]) over n_paths sharded across the mesh's path axis.
 
     Every chip simulates n_paths/n_chips paths whose stream indices are
@@ -69,6 +70,8 @@ def sharded_moments(mesh: Mesh, params_vec, seed: int, epoch, *,
                          "(ops/fe_mrg.py); shard with the counter rngs "
                          "(philox/threefry/threefry4) whose disjoint "
                          "base_path ranges make n-chip == 1-chip bitwise")
+    if scramble != "lms-shift" and engine != "qmc":
+        raise ValueError("scramble= applies to engine='qmc' only")
     if engine not in ("pallas", "scan", "qmc"):
         raise ValueError(
             f"unknown engine {engine!r} for sharded_moments (expected "
@@ -109,7 +112,8 @@ def sharded_moments(mesh: Mesh, params_vec, seed: int, epoch, *,
             base = idx.astype(jnp.uint32) * jnp.uint32(count)
             sums = qmc_replicate_payoff_sums(
                 pv, ep, k0, k1, N=N, count=count, n_shifts=n_shifts,
-                sim=sim, interpret=interpret, base=base)
+                sim=sim, interpret=interpret, scramble=scramble,
+                base=base)
             means = jax.lax.psum(sums, PATH_AXIS) / jnp.float32(n)
             return rqmc_moments_from_means(means, n_paths, n_shifts)
 
