@@ -53,6 +53,11 @@ _scan_rot_jit = jax.jit(fe_moments_rot_scan, static_argnums=(1, 6, 7))
 
 def _mrg_jit(pv, N, pidx, epoch, seed):
     from ..ops.fe_mrg import fe_moments_mrg
+    from ..rng.mrg32k3a import MAX_EPOCH
+    if int(epoch) >= MAX_EPOCH:
+        raise ValueError(
+            f"epoch={int(epoch)} exceeds the MRG32k3a stream layout's "
+            f"2^27 epochs per path block (rng/mrg32k3a.py docstring)")
     return jax.jit(fe_moments_mrg, static_argnums=(1, 4))(
         pv, N, pidx, epoch, seed)
 

@@ -40,7 +40,7 @@ where A is the 3x3 companion matrix of each recurrence (mod its m).
 2^67 is curand's own MRG32k3a subsequence spacing (so ``path``
 semantics match ``curand_init(seed, path, 0)``); epochs advance by
 2^40 draws *within* a path's block, which nests correctly for
-epoch < 2^27 (asserted) and any simulation shorter than 2^40 draws.
+epoch < 2^27 (checked at the method layer) and any simulation shorter than 2^40 draws.
 s(seed) is derived host-side from the integer seed by splitmix64,
 folded into [1, m-1] so neither recurrence starts at the forbidden
 all-zero state.
