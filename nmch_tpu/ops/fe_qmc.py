@@ -406,10 +406,11 @@ def rqmc_moments_from_means(means, n_paths: int, n_shifts: int):
 
 @functools.partial(jax.jit, static_argnames=("N", "n_paths", "n_shifts",
                                              "sim", "scramble",
-                                             "interpret"))
+                                             "max_chunk", "interpret"))
 def fe_moments_qmc(params_vec, epoch, k0, k1, *, N: int, n_paths: int,
                    n_shifts: int = 8, sim: str = "scan",
                    scramble: str = "lms-shift",
+                   max_chunk: int | None = None,
                    interpret: bool = False):
     """(m, m2) for the QMC engine; SimResult(m, m2, n_paths) yields the
     randomized-QMC CI (see module docstring, point 5).
@@ -451,7 +452,7 @@ def fe_moments_qmc(params_vec, epoch, k0, k1, *, N: int, n_paths: int,
     # disjoint point-index range of the same randomized set, exactly
     # like the multi-chip sharding (parallel/mesh.py), so chunking
     # changes the schedule, not the estimate
-    chunk = n
+    chunk = n if max_chunk is None else min(n, max_chunk)
     while chunk * n_shifts * N > (1 << 29):   # ~2 GB of f32 per factor
         if chunk % 2:
             break
@@ -461,13 +462,26 @@ def fe_moments_qmc(params_vec, epoch, k0, k1, *, N: int, n_paths: int,
             chunk *= 2
     if n % chunk:
         chunk = n
-    sums = None
-    for c in range(n // chunk):
-        s = qmc_replicate_payoff_sums(
+    if n == chunk:
+        sums = qmc_replicate_payoff_sums(
             params_vec, epoch, k0, k1, N=N, count=chunk,
             n_shifts=n_shifts, sim=sim, interpret=interpret,
-            scramble=scramble, base=np.uint32(c * chunk))
-        sums = s if sums is None else sums + s
+            scramble=scramble, base=np.uint32(0))
+    else:
+        # a python-unrolled chunk loop lets XLA schedule independent
+        # chunks CONCURRENTLY and their increment buffers coexist (a
+        # 2^22-point run still allocated 27 GB); fori_loop's sequential
+        # carry forces one chunk in flight, so peak memory is one
+        # chunk's temps
+        def body(c, acc):
+            s = qmc_replicate_payoff_sums(
+                params_vec, epoch, k0, k1, N=N, count=chunk,
+                n_shifts=n_shifts, sim=sim, interpret=interpret,
+                scramble=scramble,
+                base=c.astype(jnp.uint32) * jnp.uint32(chunk))
+            return acc + s
+        sums = lax.fori_loop(0, n // chunk, body,
+                             jnp.zeros((n_shifts,), jnp.float32))
     means = sums / jnp.float32(n)
     # m2 synthesized so SimResult's 1.96*sqrt((m2-m^2)/n) returns the
     # honest RQMC 95% CI (Student-t over the R shift replicates)

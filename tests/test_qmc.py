@@ -238,3 +238,17 @@ def test_owen_engine_prices_and_tightens_ci():
     # other at 2^14-2^16 points); assert same order, not superiority
     assert r_o.ci_error < 5 * r_l.ci_error
     assert float(m_o) != float(m_l)
+
+
+def test_qmc_chunked_matches_unchunked():
+    """Point-block chunking (the HBM cap for big single-chip runs)
+    must not change the estimate: same randomized point set, disjoint
+    index ranges, summed — like the multi-chip sharding."""
+    p = P.as_array()
+    n_paths, N = 8 * 4096, 16
+    m1, m21 = fe_moments_qmc(p, jnp.uint32(2), K0, K1, N=N,
+                             n_paths=n_paths)
+    m2, m22 = fe_moments_qmc(p, jnp.uint32(2), K0, K1, N=N,
+                             n_paths=n_paths, max_chunk=1024)
+    assert float(m2) == pytest.approx(float(m1), rel=2e-6)
+    assert float(m22) == pytest.approx(float(m21), rel=2e-4)
