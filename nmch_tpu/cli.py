@@ -81,6 +81,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(hash-based full Owen scrambling)")
     p.add_argument("--oracle", action="store_true",
                    help="also print the semi-analytic Heston price")
+    p.add_argument("--greeks", action="store_true",
+                   help="FE only: also print pathwise Greeks "
+                        "(dP/dparam via jax.grad through the "
+                        "simulator, ops/greeks.py)")
     p.add_argument("--no-warmup", action="store_true",
                    help="skip the untimed warm-up run (timing will include "
                         "compilation, like the reference's first run)")
@@ -129,6 +133,14 @@ def run(argv=None) -> int:
         # fresh randomness
         m.compute()
     res = m.compute()
+    greeks = None
+    if args.greeks:
+        if args.method == "fe" and args.rng in ("philox", "threefry",
+                                                "threefry4"):
+            greeks = m.greeks()
+        else:
+            print("note: --greeks needs method=fe with a counter rng; "
+                  "ignoring", file=sys.stderr)
     if args.json:
         import json
         rec = {
@@ -139,12 +151,19 @@ def run(argv=None) -> int:
             "exec_time_ms": res.exec_time_ms,
             "init_time_ms": m.init_time_ms,
         }
+        if greeks is not None:
+            rec["greeks"] = {k: v for k, v in greeks.items()
+                             if k != "price"}
         if args.oracle:
             from .oracle import heston_call_undiscounted
             rec["heston_oracle"] = heston_call_undiscounted(params)
         print(json.dumps(rec))
     else:
         m.print_stats()
+        if greeks is not None:
+            gl = ", ".join(f"d/d{k}={v:+.5f}" for k, v in greeks.items()
+                           if k != "price")
+            print(f"Pathwise Greeks (jax.grad): {gl}")
         if args.oracle:
             from .oracle import heston_call_undiscounted
             print(f"Semi-analytic Heston price (undiscounted): "

@@ -171,6 +171,33 @@ class NMCH_FE(NMCH):
         return _scan_jit(pv, self.cfg.N, pidx, jnp.uint32(epoch), k0, k1,
                          self.rng)
 
+    def greeks(self, fix_strike: bool = False) -> dict:
+        """(price, sensitivities): pathwise Greeks by jax.grad through
+        the simulator (ops/greeks.py) — a capability beyond the CUDA
+        reference.  Consumes one epoch (same stream contract as
+        compute()); works with the counter rngs on the scan-engine
+        math regardless of this object's engine= setting.
+
+        Returns {"price": float, "delta": dP/dS_0, ...} over
+        ops/greeks.py::PARAM_NAMES.  fix_strike=True freezes K for the
+        classic fixed-strike delta instead of the reference's K = S_0
+        coupling."""
+        if self.streams is None:
+            raise RuntimeError("call init(seed) before greeks()")
+        if self.rng not in ("philox", "threefry", "threefry4"):
+            raise ValueError("greeks() needs a counter rng "
+                             "(philox/threefry/threefry4)")
+        from ..ops.greeks import fe_price_and_greeks
+        epoch = self.streams.next_epoch()
+        k0, k1 = self.streams.key_words
+        price, grads = fe_price_and_greeks(
+            self.params.as_array(), jnp.uint32(epoch), k0, k1,
+            N=self.cfg.N, n_paths=self.cfg.n_paths, rng=self.rng,
+            fix_strike=fix_strike)
+        vals = jax.device_get((price, grads))
+        return {"price": float(vals[0]),
+                **{k: float(v) for k, v in vals[1].items()}}
+
     def compute(self) -> SimResult:
         if self.streams is None:
             raise RuntimeError("call init(seed) before compute()")
