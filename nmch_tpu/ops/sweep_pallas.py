@@ -220,7 +220,8 @@ def fe_sweep_scan(params_matrix, seed: int, epoch0: int, *, N: int,
 
 def _em_sweep_kernel(pv_ref, sc_ref, sum_ref, sumsq_ref, *, N: int,
                      rows: int, rng: str = "philox",
-                     conditional: bool = False):
+                     conditional: bool = False,
+                     poisson_cut: float | None = None):
     """EM analogue of _fe_sweep_kernel: points in lanes, paths in rows.
 
     Reuses em_terminal_core with (1, 128) per-lane parameter columns and
@@ -251,11 +252,13 @@ def _em_sweep_kernel(pv_ref, sc_ref, sum_ref, sumsq_ref, *, N: int,
     from .em import em_terminal_core, em_path_law, em_conditional_payoff
     if conditional:
         m, sig_eff, _, _, _ = em_path_law(params, N, path_lo, path_hi,
-                                          epoch, k0, k1, rng=rng)
+                                          epoch, k0, k1, rng=rng,
+                                          poisson_cut=poisson_cut)
         payoff = em_conditional_payoff(m, sig_eff, params[1])
     else:
         S_T, _, _, _ = em_terminal_core(params, N, path_lo, path_hi,
-                                        epoch, k0, k1, rng=rng)
+                                        epoch, k0, k1, rng=rng,
+                                        poisson_cut=poisson_cut)
         payoff = jnp.maximum(S_T - params[1], 0.0)   # K = S_0
 
     @pl.when(it == 0)
@@ -269,15 +272,20 @@ def _em_sweep_kernel(pv_ref, sc_ref, sum_ref, sumsq_ref, *, N: int,
 
 @functools.partial(jax.jit, static_argnames=("N", "n_paths", "n_points",
                                              "tile_rows", "interpret",
-                                             "rng", "conditional"))
+                                             "rng", "conditional",
+                                             "poisson_cut"))
 def em_sweep_pallas(params_matrix, seed_words, epoch0, *, N: int,
                     n_paths: int, n_points: int,
                     tile_rows: int | None = None, interpret: bool = False,
-                    rng: str = "philox", conditional: bool = False):
+                    rng: str = "philox", conditional: bool = False,
+                    poisson_cut: float | None = 128.0):
     """(E[X], E[X^2]) per parameter point for the EM scheme, one launch.
 
     rng="threefry4" and conditional=True compose with the batched
-    layout exactly as in the single-point kernel (methods/em.py)."""
+    layout exactly as in the single-point kernel (methods/em.py).
+    poisson_cut defaults to the method layer's fast 128 (pass 4000.0
+    for curand-parity switching; None = the ops-level curand default,
+    also 4000)."""
     if rng not in ("philox", "threefry4"):
         raise ValueError(f"unknown rng {rng!r} for em_sweep_pallas "
                          f"(the rejection samplers consume lane-local "
@@ -304,6 +312,7 @@ def em_sweep_pallas(params_matrix, seed_words, epoch0, *, N: int,
     ])
 
     kern = functools.partial(_em_sweep_kernel, N=N, rows=rows, rng=rng,
+                             poisson_cut=poisson_cut,
                              conditional=conditional)
     s, s2 = pl.pallas_call(
         kern,
@@ -334,8 +343,12 @@ def em_sweep_pallas(params_matrix, seed_words, epoch0, *, N: int,
 
 def em_sweep_scan(params_matrix, seed: int, epoch0: int, *, N: int,
                   n_paths: int, rng: str = "philox",
-                  conditional: bool = False):
-    """Golden batched EM sweep (vmap over rows, epoch per row)."""
+                  conditional: bool = False,
+                  poisson_cut: float | None = 128.0):
+    """Golden batched EM sweep (vmap over rows, epoch per row).
+
+    poisson_cut default mirrors em_sweep_pallas (128) so the two stay
+    draw-for-draw comparable at any lambda."""
     from ..rng.philox import split_seed
     from .em import em_moments_scan
     k0, k1 = split_seed(seed)
@@ -343,7 +356,8 @@ def em_sweep_scan(params_matrix, seed: int, epoch0: int, *, N: int,
 
     def one(pv, ep):
         return em_moments_scan(pv, N, pidx, ep, k0, k1, rng=rng,
-                               conditional=conditional)
+                               conditional=conditional,
+                               poisson_cut=poisson_cut)
 
     eps = jnp.uint32(epoch0) + jnp.arange(params_matrix.shape[0],
                                           dtype=jnp.uint32)

@@ -84,3 +84,24 @@ def test_prewarm_compiles_tiny_kernel():
     t = nmch_tpu.prewarm("threefry4", block=False)
     t.join(timeout=120)
     assert not t.is_alive()
+
+
+def test_em_sweep_kernel_scan_parity_at_large_lambda():
+    """The batched EM kernel and its scan oracle must share the
+    poisson_cut default even where lambda crosses it (N large enough
+    that lambda ~ 2 v/(sigma^2 dt) > 128)."""
+    import jax.numpy as jnp
+    import pytest
+    from nmch_tpu.ops.sweep_pallas import em_sweep_pallas, em_sweep_scan
+    from nmch_tpu.rng.philox import split_seed
+    pm = jnp.asarray([[1.0, 1.0, 0.1, 0.0, 0.5, -0.7, 0.1, 0.3],
+                      [1.0, 1.0, 0.1, 0.0, 2.0, -0.5, 0.2, 0.5]],
+                     jnp.float32)
+    k0, k1 = split_seed(9)
+    sw = jnp.stack([jnp.uint32(k0), jnp.uint32(k1)])
+    N, n_paths = 128, 256
+    mp, _ = em_sweep_pallas(pm, sw, jnp.uint32(0), N=N, n_paths=n_paths,
+                            n_points=2, interpret=True)
+    ms, _ = em_sweep_scan(pm, 9, 0, N=N, n_paths=n_paths)
+    for i in range(2):
+        assert float(mp[i]) == pytest.approx(float(ms[i]), rel=1e-6), i

@@ -128,3 +128,42 @@ def test_hw_prng_rot4_prices_sanely_on_hw():
     # FE at N=64 carries O(dt) bias; allow CI + discretization margin
     assert abs(res.price - oracle) < 5 * res.ci_error + 2e-3
     assert float(m0) != float(m1)
+
+
+def test_mrg32k3a_bitexact_on_hw():
+    """The u32 modular ladder (16-bit-partial mulhilo + 2^32-c folds)
+    must match the big-int oracle on real XLA:TPU integer ops, not
+    just on CPU."""
+    _require_tpu()
+    import numpy as np
+    from nmch_tpu.rng.mrg32k3a import (
+        M1, M2, A12, A13N, A21, A23N, seed_state, mrg_state_at, mrg_step,
+    )
+    from nmch_tpu.ops.fe import path_index_grid
+    pidx = path_index_grid(128)
+    s1, s2 = mrg_state_at(77, pidx, jnp.uint32(0))
+    zs = []
+    for _ in range(6):
+        z, s1, s2 = mrg_step(s1, s2)
+        zs.append(int(np.asarray(z)[0, 0]))
+    o1, o2 = seed_state(77)
+    for i in range(6):
+        x1 = (A12 * o1[1] - A13N * o1[0]) % M1
+        o1 = (o1[1], o1[2], x1)
+        x2 = (A21 * o2[2] - A23N * o2[0]) % M2
+        o2 = (o2[1], o2[2], x2)
+        assert zs[i] == (x1 - x2) % M1, i
+
+
+def test_greeks_grad_on_hw():
+    """jax.grad through the N-step scan compiles and prices on chip;
+    ATM-homogeneity identity dP/dS_0 == P pins correctness."""
+    _require_tpu()
+    from nmch_tpu.ops.greeks import fe_price_and_greeks, PARAM_NAMES
+    price, g = fe_price_and_greeks(P.as_array(), jnp.uint32(0), K0, K1,
+                                   N=64, n_paths=8192)
+    vals = jax.device_get((price, g))
+    assert float(vals[1]["S_0"]) == pytest.approx(float(vals[0]),
+                                                  rel=1e-4)
+    for k in PARAM_NAMES:
+        assert abs(float(vals[1][k])) < 10.0, k
