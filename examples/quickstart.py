@@ -68,6 +68,15 @@ def main():
           f"ci={res.ci_error:.2e} ({res.exec_time_ms:.1f} ms)")
     m.finalize()
 
+    # pathwise Greeks: jax.grad through the simulator (ops/greeks.py)
+    m = NMCH_FE(cfg, params, engine="scan")
+    m.init(seed=1234)
+    g = m.greeks()
+    print("\npathwise Greeks (one epoch of draws): "
+          + ", ".join(f"d/d{k}={v:+.4f}" for k, v in g.items()
+                      if k != "price"))
+    m.finalize()
+
 
 if __name__ == "__main__":
     main()
