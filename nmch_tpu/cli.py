@@ -95,7 +95,16 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def run(argv=None) -> int:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if args.method == "em" and args.engine == "qmc":
+        parser.error("--engine qmc is FE-only (the Sobol'/Brownian-"
+                     "bridge construction has no EM analogue)")
+    if args.scramble != "lms-shift" and (args.method != "fe"
+                                         or args.engine != "qmc"):
+        print("note: --scramble applies to --method fe --engine qmc "
+              "only; ignoring", file=sys.stderr)
+        args.scramble = "lms-shift"
     params = HestonParams(T=args.T, S_0=args.S_0, v_0=args.v_0, r=args.r,
                           k=args.k, rho=args.rho, theta=args.theta,
                           sigma=args.sigma)
@@ -160,6 +169,13 @@ def run(argv=None) -> int:
         print(json.dumps(rec))
     else:
         m.print_stats()
+        if args.engine == "qmc":
+            # the stats block's reference-formula `err` is meaningless
+            # for the QMC engine's synthesized moments (it reproduces
+            # the plain-MC formula shape); the honest accuracy is the
+            # t-quantile RQMC CI over the shift replicates
+            print(f"RQMC 95% CI (shift-replicate spread): "
+                  f"{res.ci_error:e}")
         if greeks is not None:
             gl = ", ".join(f"d/d{k}={v:+.5f}" for k, v in greeks.items()
                            if k != "price")

@@ -30,6 +30,8 @@ distinction) — documented rather than faked, per SURVEY.md §7.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -51,15 +53,22 @@ _scan_jit = jax.jit(fe_moments_scan, static_argnums=(1, 6))
 _scan_rot_jit = jax.jit(fe_moments_rot_scan, static_argnums=(1, 6, 7))
 
 
-def _mrg_jit(pv, N, pidx, epoch, seed):
+@functools.lru_cache(maxsize=1)
+def _mrg_jitted():
+    # lazy: rng/mrg32k3a.py's jump tables are only built when the MRG
+    # family is actually used; cached so every compute() hits the same
+    # trace cache (a fresh jax.jit per call would retrace each time)
     from ..ops.fe_mrg import fe_moments_mrg
+    return jax.jit(fe_moments_mrg, static_argnums=(1, 4))
+
+
+def _mrg_jit(pv, N, pidx, epoch, seed):
     from ..rng.mrg32k3a import MAX_EPOCH
     if int(epoch) >= MAX_EPOCH:
         raise ValueError(
             f"epoch={int(epoch)} exceeds the MRG32k3a stream layout's "
             f"2^27 epochs per path block (rng/mrg32k3a.py docstring)")
-    return jax.jit(fe_moments_mrg, static_argnums=(1, 4))(
-        pv, N, pidx, epoch, seed)
+    return _mrg_jitted()(pv, N, pidx, epoch, seed)
 
 
 class NMCH_FE(NMCH):

@@ -102,22 +102,29 @@ def make_draw4(rng: str, path_lo, path_hi, epoch, k0, k1):
     raise ValueError(f"unknown counter rng {rng!r}")
 
 
+def fe_two_steps(S, v, g0, g1, g2, g3, j, cst, N: int):
+    """Advance the two Euler steps of counter block ``j`` (steps 2j
+    and 2j+1), masking the trailing half-block for odd N.
+
+    The one place the block contract lives: the philox/threefry scan
+    engine (fe_block_body), the MRG32k3a engine (ops/fe_mrg.py) and
+    the differentiable greeks engine (ops/greeks.py) all call this, so
+    the draw-consumption parity rule cannot drift between them."""
+    S, v = fe_step(S, v, g0, g1, cst)
+    if N % 2 == 0:
+        return fe_step(S, v, g2, g3, cst)
+    do = (2 * j + 1) < N
+    S2, v2 = fe_step(S, v, g2, g3, cst)
+    return jnp.where(do, S2, S), jnp.where(do, v2, v)
+
+
 def fe_block_body(j, S, v, path_lo, path_hi, epoch, k0, k1, cst, N: int,
                   rng: str = "philox"):
     """Advance steps 2j and 2j+1 from one counter block."""
     draw = make_draw4(rng, path_lo, path_hi, epoch, k0, k1)
     bits = draw(jnp.uint32(0) + j.astype(jnp.uint32))
     g0, g1, g2, g3 = normal4_from_bits(*bits)
-    S, v = fe_step(S, v, g0, g1, cst)
-    if N % 2 == 0:
-        S, v = fe_step(S, v, g2, g3, cst)
-    else:
-        # mask the trailing half-block on the last iteration
-        do = (2 * j + 1) < N
-        S2, v2 = fe_step(S, v, g2, g3, cst)
-        S = jnp.where(do, S2, S)
-        v = jnp.where(do, v2, v)
-    return S, v
+    return fe_two_steps(S, v, g0, g1, g2, g3, j, cst, N)
 
 
 def fe_terminal(params_vec, N: int, path_idx, epoch, k0, k1,

@@ -22,7 +22,7 @@ from jax import lax
 
 from ..rng.mrg32k3a import mrg_state_at, mrg_step, u01_from_z
 from ..rng.normal import boxmuller
-from .fe import fe_consts, fe_step
+from .fe import fe_consts, fe_two_steps
 
 
 def _draw_normal4(s1, s2):
@@ -58,14 +58,7 @@ def fe_terminal_mrg(params_vec, N: int, path_idx, epoch, seed: int):
     def body(j, carry):
         S, v, s1, s2 = carry
         (g0, g1, g2, g3), s1, s2 = _draw_normal4(s1, s2)
-        S, v = fe_step(S, v, g0, g1, cst)
-        if N % 2 == 0:
-            S, v = fe_step(S, v, g2, g3, cst)
-        else:
-            do = (2 * j + 1) < N
-            S2, v2 = fe_step(S, v, g2, g3, cst)
-            S = jnp.where(do, S2, S)
-            v = jnp.where(do, v2, v)
+        S, v = fe_two_steps(S, v, g0, g1, g2, g3, j, cst, N)
         return (S, v, s1, s2)
 
     S, v, _, _ = lax.fori_loop(0, n_blocks, body, (S0, v0, s1, s2))

@@ -394,7 +394,14 @@ def rqmc_moments_from_means(means, n_paths: int, n_shifts: int):
     """(m, m2) synthesized so SimResult(m, m2, n_paths) reproduces the
     honest RQMC CI: var(shift means)/(R-1) is the unbiased variance of
     the estimate, and the (t_{R-1}/z)^2 factor bakes the small-sample
-    Student-t 95% quantile into the standard 1.96-based formula."""
+    Student-t 95% quantile into the standard 1.96-based formula.
+
+    Caveat: only ``SimResult.ci_error`` is meaningful for these
+    synthesized moments.  The reference-parity ``err`` field (the
+    NMCH_FE.hpp:50-55 formula, printed by print_stats) degenerates to
+    ~1.96|m|/sqrt(n) here — it assumes plain-MC within-sample moments,
+    which correlated QMC points do not have.  The CLI prints the RQMC
+    CI alongside the stats block for the qmc engine."""
     from scipy.stats import t as _t
     m = jnp.mean(means)
     t_over_z = float(_t.ppf(0.975, n_shifts - 1)) / 1.959963984540054

@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .fe import fe_consts, fe_step, make_draw4, path_index_grid
+from .fe import fe_consts, fe_two_steps, make_draw4, path_index_grid
 from ..rng.normal import normal4_from_bits
 
 PARAM_NAMES = ("T", "S_0", "v_0", "r", "k", "rho", "theta", "sigma")
@@ -72,14 +72,7 @@ def _fe_price_scan(params_vec, K, N: int, path_idx, epoch, k0, k1,
         S, v = carry
         bits = draw(j.astype(jnp.uint32))
         g0, g1, g2, g3 = normal4_from_bits(*bits)
-        S, v = fe_step(S, v, g0, g1, cst)
-        if N % 2 == 0:
-            S, v = fe_step(S, v, g2, g3, cst)
-        else:
-            do = (2 * j + 1) < N
-            S2, v2 = fe_step(S, v, g2, g3, cst)
-            S = jnp.where(do, S2, S)
-            v = jnp.where(do, v2, v)
+        S, v = fe_two_steps(S, v, g0, g1, g2, g3, j, cst, N)
         return (S, v), None
 
     if remat:
@@ -105,10 +98,9 @@ def fe_price_and_greeks(params_vec, epoch, k0, k1, *, N: int,
     if remat is None:
         remat = N > 512
     pidx = path_index_grid(n_paths)
-    K = lax.stop_gradient(params_vec[1]) if fix_strike else params_vec[1]
 
     def price_of(pv):
-        Kv = lax.stop_gradient(K) if fix_strike else pv[1]
+        Kv = lax.stop_gradient(pv[1]) if fix_strike else pv[1]
         return _fe_price_scan(pv, Kv, N, pidx, epoch, k0, k1, rng, remat)
 
     price, grads = jax.value_and_grad(price_of)(params_vec)
