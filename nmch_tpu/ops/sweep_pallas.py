@@ -31,12 +31,28 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..rng.philox import philox4x32
+from ..rng.philox import philox4x32, split_seed
 from ..rng.threefry4 import draw4_threefry4
 from ..rng.normal import normal4_from_bits
-from .fe import fe_consts, fe_step, fe_moments_scan, path_index_grid
+from .fe import fe_consts, fe_step, fe_moments_scan
+from .fe_pallas import _pick_tile_rows
+from .em import (
+    em_terminal_core, em_path_law, em_conditional_payoff, em_moments_scan,
+)
 
 LANES = 128
+
+
+def _kahan_row_add(ref, y):
+    """Per-lane Kahan add of the (1, 128) row ``y`` into ``ref`` row 0,
+    compensation carried in ref row 1 (rows 1..7 of the per-point
+    output block are otherwise unused; extraction reads row 0).  Same
+    guarantee as the single-point kernels' _kahan_add (fe_pallas.py):
+    per-point sums stay ~ulp-exact across any number of path tiles."""
+    yc = y - ref[1:2, :]
+    t = ref[0:1, :] + yc
+    ref[1:2, :] = (t - ref[0:1, :]) - yc
+    ref[0:1, :] = t
 
 
 def _fe_sweep_kernel(pv_ref, sc_ref, sum_ref, sumsq_ref, *, N: int,
@@ -123,8 +139,9 @@ def _fe_sweep_kernel(pv_ref, sc_ref, sum_ref, sumsq_ref, *, N: int,
         sum_ref[...] = jnp.zeros((8, LANES), jnp.float32)
         sumsq_ref[...] = jnp.zeros((8, LANES), jnp.float32)
 
-    sum_ref[0:1, :] += jnp.sum(payoff, axis=0, keepdims=True)
-    sumsq_ref[0:1, :] += jnp.sum(payoff * payoff, axis=0, keepdims=True)
+    _kahan_row_add(sum_ref, jnp.sum(payoff, axis=0, keepdims=True))
+    _kahan_row_add(sumsq_ref,
+                   jnp.sum(payoff * payoff, axis=0, keepdims=True))
 
 
 @functools.partial(jax.jit, static_argnames=("N", "n_paths", "n_points",
@@ -156,9 +173,7 @@ def fe_sweep_pallas(params_matrix, seed_words, epoch0, *, N: int,
     pmT = pm.reshape(pt_tiles, LANES, 8).transpose(0, 2, 1)
     pmT = pmT.reshape(pt_tiles * 8, LANES)
 
-    rows = tile_rows or min(n_paths, 256)
-    while n_paths % rows:
-        rows -= 1
+    rows = tile_rows or _pick_tile_rows(n_paths, target=256)
     path_tiles = n_paths // rows
 
     sc = jnp.stack([
@@ -206,7 +221,6 @@ def fe_sweep_scan(params_matrix, seed: int, epoch0: int, *, N: int,
     as a single column (the kernel's row axis), epochs are epoch0 + row
     index.
     """
-    from ..rng.philox import split_seed
     k0, k1 = split_seed(seed)
     pidx = jnp.arange(n_paths, dtype=jnp.uint32).reshape(n_paths, 1)
 
@@ -249,7 +263,6 @@ def _em_sweep_kernel(pv_ref, sc_ref, sum_ref, sumsq_ref, *, N: int,
     path_lo = row + it.astype(jnp.uint32) * np.uint32(rows) + anchor
     path_hi = path_lo * np.uint32(0)
 
-    from .em import em_terminal_core, em_path_law, em_conditional_payoff
     if conditional:
         m, sig_eff, _, _, _ = em_path_law(params, N, path_lo, path_hi,
                                           epoch, k0, k1, rng=rng,
@@ -266,8 +279,9 @@ def _em_sweep_kernel(pv_ref, sc_ref, sum_ref, sumsq_ref, *, N: int,
         sum_ref[...] = jnp.zeros((8, LANES), jnp.float32)
         sumsq_ref[...] = jnp.zeros((8, LANES), jnp.float32)
 
-    sum_ref[0:1, :] += jnp.sum(payoff, axis=0, keepdims=True)
-    sumsq_ref[0:1, :] += jnp.sum(payoff * payoff, axis=0, keepdims=True)
+    _kahan_row_add(sum_ref, jnp.sum(payoff, axis=0, keepdims=True))
+    _kahan_row_add(sumsq_ref,
+                   jnp.sum(payoff * payoff, axis=0, keepdims=True))
 
 
 @functools.partial(jax.jit, static_argnames=("N", "n_paths", "n_points",
@@ -299,9 +313,7 @@ def em_sweep_pallas(params_matrix, seed_words, epoch0, *, N: int,
     pmT = pmT.reshape(pt_tiles * 8, LANES)
 
     # EM carries much more live state (sampler rounds), smaller tiles
-    rows = tile_rows or min(n_paths, 128)
-    while n_paths % rows:
-        rows -= 1
+    rows = tile_rows or _pick_tile_rows(n_paths, target=128)
     path_tiles = n_paths // rows
 
     sc = jnp.stack([
@@ -349,8 +361,6 @@ def em_sweep_scan(params_matrix, seed: int, epoch0: int, *, N: int,
 
     poisson_cut default mirrors em_sweep_pallas (128) so the two stay
     draw-for-draw comparable at any lambda."""
-    from ..rng.philox import split_seed
-    from .em import em_moments_scan
     k0, k1 = split_seed(seed)
     pidx = jnp.arange(n_paths, dtype=jnp.uint32).reshape(n_paths, 1)
 

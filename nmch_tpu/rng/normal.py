@@ -12,7 +12,6 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-TWO_PI = 6.283185307179586
 
 # --- near-minimax polynomial coefficients (benchmarks/fit_polys.py) ---
 # sin(z) = z * P(z^2) on |z| <= pi/2, max abs err 5.9e-7
