@@ -105,3 +105,37 @@ def fe_price_and_greeks(params_vec, epoch, k0, k1, *, N: int,
 
     price, grads = jax.value_and_grad(price_of)(params_vec)
     return price, dict(zip(PARAM_NAMES, grads))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("N", "n_paths", "rng", "fix_strike",
+                                    "remat"))
+def fe_greeks_sweep(params_matrix, epoch0, k0, k1, *, N: int,
+                    n_paths: int, rng: str = "philox",
+                    fix_strike: bool = False,
+                    remat: bool | None = None):
+    """(prices f32[P], grads f32[P, 8]): the pathwise-Greeks surface
+    over a whole parameter grid in one compiled program — vmap over
+    grid rows x grad over parameters x scan over time, the transform
+    composition the CUDA reference's per-kernel design cannot express.
+
+    Row p prices with stream epoch ``epoch0 + p`` (the batched-sweep
+    epoch convention, ops/sweep_pallas.py).  Column order of grads is
+    PARAM_NAMES.  Cost scales like the sweep itself (~2x a price-only
+    sweep); use it to map delta/vega stability across the
+    (kappa, theta, sigma) exploration grid.
+    """
+    if remat is None:
+        remat = N > 512
+    pidx = path_index_grid(n_paths)
+
+    def one(pv, ep):
+        def price_of(p):
+            Kv = lax.stop_gradient(p[1]) if fix_strike else p[1]
+            return _fe_price_scan(p, Kv, N, pidx, ep, k0, k1, rng,
+                                  remat)
+        return jax.value_and_grad(price_of)(pv)
+
+    eps = jnp.asarray(epoch0, jnp.uint32) + jnp.arange(
+        params_matrix.shape[0], dtype=jnp.uint32)
+    return jax.vmap(one)(params_matrix.astype(jnp.float32), eps)

@@ -115,3 +115,21 @@ def test_method_api_greeks():
     m2.init(7)
     with pytest.raises(ValueError):
         m2.greeks()
+
+
+def test_greeks_sweep_matches_single_point():
+    """vmap x grad x scan: each grid row equals the single-point
+    fe_price_and_greeks at its (params, epoch0+row) stream."""
+    from nmch_tpu.ops.greeks import fe_greeks_sweep
+    pm = jnp.stack([P.as_array(),
+                    HestonParams(k=2.0, sigma=0.5, theta=0.2).as_array()])
+    prices, grads = fe_greeks_sweep(pm, jnp.uint32(5), K0, K1, N=16,
+                                    n_paths=2048)
+    assert prices.shape == (2,) and grads.shape == (2, 8)
+    for row in range(2):
+        p1, g1 = fe_price_and_greeks(pm[row], jnp.uint32(5 + row),
+                                     K0, K1, N=16, n_paths=2048)
+        assert float(prices[row]) == pytest.approx(float(p1), rel=1e-6)
+        for j, name in enumerate(PARAM_NAMES):
+            assert float(grads[row, j]) == pytest.approx(
+                float(g1[name]), rel=1e-5, abs=1e-8), name
