@@ -167,3 +167,33 @@ def test_greeks_grad_on_hw():
                                                   rel=1e-4)
     for k in PARAM_NAMES:
         assert abs(float(vals[1][k])) < 10.0, k
+
+
+def test_fe_sweep_kernel_on_hw():
+    """Batched points-in-lanes sweep kernel vs its scan oracle under
+    real lowering (incl. the Kahan row-compensation stores)."""
+    _require_tpu()
+    from nmch_tpu.ops.sweep_pallas import fe_sweep_pallas, fe_sweep_scan
+    pm = jnp.stack([P.as_array(),
+                    HestonParams(k=2.0, sigma=0.5, theta=0.2).as_array(),
+                    HestonParams(k=0.3, sigma=0.2, theta=0.05).as_array()])
+    mp, m2p = fe_sweep_pallas(pm, SW, jnp.uint32(0), N=32, n_paths=1024,
+                              n_points=3, rng="philox", interpret=False)
+    ms, m2s = fe_sweep_scan(pm, 1234, 0, N=32, n_paths=1024)
+    for i in range(3):
+        assert float(mp[i]) == pytest.approx(float(ms[i]), rel=1e-6), i
+        assert float(m2p[i]) == pytest.approx(float(m2s[i]), rel=1e-6), i
+
+
+def test_em_sweep_kernel_on_hw():
+    _require_tpu()
+    from nmch_tpu.ops.sweep_pallas import em_sweep_pallas, em_sweep_scan
+    pm = jnp.stack([P.as_array(),
+                    HestonParams(k=2.0, sigma=0.5, theta=0.2).as_array()])
+    mp, _ = em_sweep_pallas(pm, SW, jnp.uint32(0), N=16, n_paths=512,
+                            n_points=2, rng="threefry4", conditional=True,
+                            interpret=False)
+    ms, _ = em_sweep_scan(pm, 1234, 0, N=16, n_paths=512,
+                          rng="threefry4", conditional=True)
+    for i in range(2):
+        assert float(mp[i]) == pytest.approx(float(ms[i]), rel=1e-6), i
