@@ -479,16 +479,24 @@ def fe_moments_qmc(params_vec, epoch, k0, k1, *, N: int, n_paths: int,
         # chunks CONCURRENTLY and their increment buffers coexist (a
         # 2^22-point run still allocated 27 GB); fori_loop's sequential
         # carry forces one chunk in flight, so peak memory is one
-        # chunk's temps
-        def body(c, acc):
+        # chunk's temps.  The accumulation is Kahan-compensated: at
+        # 2^24 points the growing-magnitude plain-f32 chunk adds put a
+        # ~2e-6-relative noise floor UNDER the RQMC CI itself (measured
+        # CI *rose* from 4.4e-6 at 2^22 to 7.4e-6 at 2^24 before the
+        # compensation).
+        def body(c, carry):
+            acc, comp = carry
             s = qmc_replicate_payoff_sums(
                 params_vec, epoch, k0, k1, N=N, count=chunk,
                 n_shifts=n_shifts, sim=sim, interpret=interpret,
                 scramble=scramble,
                 base=c.astype(jnp.uint32) * jnp.uint32(chunk))
-            return acc + s
-        sums = lax.fori_loop(0, n // chunk, body,
-                             jnp.zeros((n_shifts,), jnp.float32))
+            y = s - comp
+            t = acc + y
+            comp = (t - acc) - y
+            return (t, comp)
+        z = jnp.zeros((n_shifts,), jnp.float32)
+        sums, _ = lax.fori_loop(0, n // chunk, body, (z, z))
     means = sums / jnp.float32(n)
     # m2 synthesized so SimResult's 1.96*sqrt((m2-m^2)/n) returns the
     # honest RQMC 95% CI (Student-t over the R shift replicates)
