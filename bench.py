@@ -120,8 +120,14 @@ def main() -> None:
     outs = [qmc_run(1 + i) for i in range(3)]
     vals = jax.device_get(outs)
     t_qmc = (time.perf_counter() - t0) / 3
-    ci = SimResult(float(vals[-1][0]), float(vals[-1][1]),
-                   QMC_PATHS).ci_error
+    # geomean CI over the epochs: a single 8-replicate CI estimate has
+    # 7 dof and swings ~2x (benchmarks/RESULTS.md round-3 note)
+    cis = [SimResult(float(v[0]), float(v[1]), QMC_PATHS).ci_error
+           for v in vals]
+    ci = 1.0
+    for c in cis:
+        ci *= c
+    ci **= 1.0 / len(cis)
     t_ref = (REF_ERR_COEF / ci) ** 2 * QMC_N / BASELINE
     qmc_g = QMC_PATHS * QMC_N / t_qmc
 
