@@ -146,3 +146,30 @@ def test_method_api_mrg():
         NMCH_FE(SimConfig(), P, engine="pallas", rng="mrg32k3a")
     with pytest.raises(ValueError):
         NMCH_FE(SimConfig(), P, engine="scan", rng="mrg32k3a", rot=4)
+
+
+def test_u01_uniformity_ks():
+    """KS test of the MRG32k3a uniforms across many streams (the same
+    rigor bar as the sampler suite in test_sampling.py)."""
+    from scipy.stats import kstest
+    pidx = path_index_grid(8192)
+    s1, s2 = mrg_state_at(11, pidx, jnp.uint32(0))
+    us = []
+    for _ in range(4):
+        z, s1, s2 = mrg_step(s1, s2)
+        us.append(np.asarray(u01_from_z(z)).ravel())
+    u = np.concatenate(us)
+    assert kstest(u, "uniform").pvalue > 1e-3
+
+
+def test_boxmuller_normality_ks():
+    from scipy.stats import kstest
+    from nmch_tpu.rng.normal import boxmuller
+    pidx = path_index_grid(8192)
+    s1, s2 = mrg_state_at(13, pidx, jnp.uint32(0))
+    z1, s1, s2 = mrg_step(s1, s2)
+    z2, s1, s2 = mrg_step(s1, s2)
+    g1, g2 = boxmuller(u01_from_z(z1), u01_from_z(z2))
+    g = np.concatenate([np.asarray(g1).ravel(), np.asarray(g2).ravel()])
+    assert kstest(g, "norm").pvalue > 1e-3
+    assert abs(g.mean()) < 5 / np.sqrt(g.size)
