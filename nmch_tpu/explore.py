@@ -26,6 +26,7 @@ import sys
 from .params import HestonParams, SimConfig
 from .methods.fe import NMCH_FE
 from .methods.em import NMCH_EM
+from .utils.backend import on_tpu
 
 K_MIN, K_MAX = 0.1, 10.0
 THETA_MIN, THETA_MAX = 0.01, 0.5
@@ -105,7 +106,7 @@ def sweep_batched(cfg: SimConfig, seed: int, out=sys.stdout,
         if engine == "pallas":
             k0, k1 = split_seed(seed)
             sw = jnp.stack([jnp.uint32(k0), jnp.uint32(k1)])
-            interp = jax.default_backend() not in ("tpu", "axon")
+            interp = not on_tpu()
             if method == "fe":
                 return fe_sweep_pallas(pm, sw, jnp.uint32(0), N=cfg.N,
                                        n_paths=cfg.n_paths,
@@ -162,14 +163,16 @@ def run(argv=None) -> int:
 
     cfg = SimConfig(NTPB=args.NTPB, NB=args.NB, N=args.N, seed=args.seed)
     params = HestonParams()
+    # validate BEFORE touching --out: opening truncates, and a typo'd
+    # --methods must not destroy an existing sweep file
+    methods = [m.strip() for m in args.methods.split(",") if m.strip()]
+    unknown = [m for m in methods if m not in ("fe", "em")]
+    if unknown:
+        p.error(f"unknown method(s) {unknown}; valid: fe, em")
     out = open(args.out, "w") if args.out else sys.stdout
     try:
         print("method, k, theta, sigma, execution_time, err", file=out,
               flush=True)
-        methods = [m.strip() for m in args.methods.split(",") if m.strip()]
-        unknown = [m for m in methods if m not in ("fe", "em")]
-        if unknown:
-            p.error(f"unknown method(s) {unknown}; valid: fe, em")
         for name in methods:
             if args.batched:
                 sweep_batched(cfg, args.seed, out, engine=args.engine,

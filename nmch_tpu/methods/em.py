@@ -18,6 +18,7 @@ from ..ops.em import em_moments_scan
 from ..ops.fe import path_index_grid
 from ..ops.em_pallas import em_moments_pallas
 from ..utils.timing import Timer
+from ..utils.backend import on_tpu
 from .base import NMCH
 
 # module-level jit wrapper — one trace cache across all compute() calls
@@ -62,7 +63,7 @@ class NMCH_EM(NMCH):
         # method-level fast default; ops-level None stays curand's 4000
         self.poisson_cut = 128.0 if poisson_cut is None else poisson_cut
         if interpret is None:
-            interpret = jax.default_backend() not in ("tpu", "axon")
+            interpret = not on_tpu()
         self.interpret = interpret
 
     def init(self, seed: int | None = None) -> None:

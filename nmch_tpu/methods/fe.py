@@ -45,6 +45,7 @@ from ..ops.fe import (
 from ..ops.fe_pallas import fe_moments_pallas
 from ..ops.fe_qmc import fe_moments_qmc
 from ..utils.timing import Timer
+from ..utils.backend import on_tpu
 from .base import NMCH
 
 # module-level jit wrappers so every compute() call hits the same
@@ -134,7 +135,7 @@ class NMCH_FE(NMCH):
         # interpret-mode fallback lets the pallas engine run on CPU
         # (tests / machines without a TPU)
         if interpret is None:
-            interpret = jax.default_backend() not in ("tpu", "axon")
+            interpret = not on_tpu()
         self.interpret = interpret
 
     # -- lifecycle --------------------------------------------------------

@@ -62,7 +62,8 @@ def variant_ladder(n_paths: int = 1 << 18, N: int = 1000, seed: int = 1234,
     from ..ops.em_pallas import em_moments_pallas
 
     if interpret is None:
-        interpret = jax.default_backend() not in ("tpu", "axon")
+        from .backend import on_tpu
+        interpret = not on_tpu()
     params = HestonParams()
     pv = params.as_array()
     k0, k1 = split_seed(seed)

@@ -286,3 +286,30 @@ def test_threefry4_rot4_parity():
                                   rng="threefry4", rot=4, interpret=True)
     assert float(m_p) == pytest.approx(float(m_s), rel=1e-6)
     assert float(m2_p) == pytest.approx(float(m2_s), rel=1e-6)
+
+
+def test_rot_group_step_matches_rotation_images_spec():
+    """fe_rot_group_step's shared sign/swap algebra must equal mapping
+    fe_step over rotation_images (the specification function) — the
+    identity its docstring claims, pinned for every rot."""
+    from nmch_tpu.ops.fe import (
+        fe_consts, fe_step, fe_rot_group_step, rotation_images,
+    )
+    rng = np.random.default_rng(3)
+    a = jnp.asarray(rng.standard_normal((4, 128)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((4, 128)).astype(np.float32))
+    cst = fe_consts(jnp.float32(0.0), jnp.float32(0.5), jnp.float32(0.1),
+                    jnp.float32(0.3), jnp.float32(-0.7),
+                    jnp.sqrt(jnp.float32(1.0 - 0.49)),
+                    jnp.float32(1e-3), jnp.sqrt(jnp.float32(1e-3)))
+    for rot in (1, 2, 4, 8):
+        S0 = jnp.full((4, 128), 1.0, jnp.float32)
+        v0 = jnp.full((4, 128), 0.1, jnp.float32)
+        Ss, vs = fe_rot_group_step([S0] * rot, [v0] * rot, a, b, cst, rot)
+        for t, (g1, g2) in enumerate(rotation_images(a, b, rot)):
+            S_ref, v_ref = fe_step(S0, v0, g1, g2, cst)
+            np.testing.assert_allclose(np.asarray(Ss[t]),
+                                       np.asarray(S_ref), rtol=2e-6)
+            np.testing.assert_allclose(np.asarray(vs[t]),
+                                       np.asarray(v_ref), rtol=2e-5,
+                                       atol=1e-7)
