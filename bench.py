@@ -71,8 +71,8 @@ def main() -> None:
     pv = params.as_array()
     k0, k1 = split_seed(1234)
     sw = jnp.stack([jnp.uint32(k0), jnp.uint32(k1)])
-    from nmch_tpu.utils.backend import on_tpu as _on_tpu
-    on_tpu = _on_tpu()
+    from nmch_tpu.utils.backend import on_tpu
+    on_tpu = on_tpu()
     # rng="tpu" (hardware PRNG) + packed phases is the fast engine;
     # philox is the reproducible default.  Bench the fast one, like
     # the reference benches its fastest variant (K3).

@@ -53,7 +53,8 @@ def main() -> None:
     params = HestonParams().as_array()
     k0, k1 = split_seed(1234)
     sw = jnp.stack([jnp.uint32(k0), jnp.uint32(k1)])
-    on_tpu = jax.default_backend() in ("tpu", "axon")
+    from nmch_tpu.utils.backend import on_tpu as _is_tpu
+    on_tpu = _is_tpu()
 
     rows_total = args.n_paths // 128
     out_lines = ["box,fsqrt,rot,unroll,tile_rows,ms,gpathsteps,price"]

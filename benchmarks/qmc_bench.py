@@ -47,7 +47,8 @@ def main() -> int:
 
     lines = ["n_points,N,ms,ci_error,t_ref_ms,speedup_error_matched"]
     print(lines[0], flush=True)
-    on_tpu = jax.default_backend() in ("tpu", "axon")
+    from nmch_tpu.utils.backend import on_tpu as _is_tpu
+    on_tpu = _is_tpu()
     for n in (int(x) for x in args.paths.split(",")):
         # the fused streaming simulator when on hardware and the
         # replicate size tiles (methods/fe.py uses the same rule)

@@ -42,7 +42,8 @@ def main() -> int:
     P = HestonParams()
     k0, k1 = split_seed(args.seed)
     sw = jnp.stack([jnp.uint32(k0), jnp.uint32(k1)])
-    on_tpu = jax.default_backend() in ("tpu", "axon")
+    from nmch_tpu.utils.backend import on_tpu as _is_tpu
+    on_tpu = _is_tpu()
 
     def run(e):
         return fe_moments_pallas(

@@ -36,7 +36,8 @@ def main():
     mesh = make_mesh(devices)
     params = HestonParams()
     n_paths = 128 * 64 * len(devices)
-    engine = "pallas" if jax.default_backend() in ("tpu", "axon") else "scan"
+    from nmch_tpu.utils.backend import on_tpu
+    engine = "pallas" if on_tpu() else "scan"
 
     m, m2 = sharded_moments(mesh, params.as_array(), seed=1234, epoch=0,
                             N=200, n_paths=n_paths, method="fe",

@@ -88,7 +88,6 @@ def sweep_batched(cfg: SimConfig, seed: int, out=sys.stdout,
     (SURVEY.md §7.8 'vmapped grid') — same CSV, amortized per-point
     time.  Each point prices at its own stream epoch."""
     import time
-    import jax
     import jax.numpy as jnp
     from .ops.sweep_pallas import (
         fe_sweep_pallas, fe_sweep_scan, em_sweep_pallas, em_sweep_scan,

@@ -35,8 +35,8 @@ def prewarm(rng: str = "philox", block: bool = True,
         from ..params import HestonParams
         from ..rng.philox import split_seed
         k0, k1 = split_seed(0)
-        from .backend import on_tpu as _on_tpu
-        on_tpu = _on_tpu()
+        from .backend import on_tpu as _is_tpu
+        on_tpu = _is_tpu()
         if engine == "qmc":
             from ..ops.fe_qmc import fe_moments_qmc
             m, m2 = fe_moments_qmc(

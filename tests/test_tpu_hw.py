@@ -46,7 +46,8 @@ SW = jnp.stack([jnp.uint32(K0), jnp.uint32(K1)])
 
 
 def _require_tpu():
-    if jax.default_backend() not in ("tpu", "axon"):
+    from nmch_tpu.utils.backend import on_tpu
+    if not on_tpu():
         pytest.skip("no TPU backend attached")
 
 
