@@ -95,8 +95,11 @@ def main() -> None:
         vals = jax.device_get(outs)
         dt = (time.perf_counter() - t0) / REPS
         m = sum(float(v[0]) for v in vals) / REPS
-        m2 = sum(float(v[1]) for v in vals) / REPS
-        return rot * N_GROUPS * N_STEPS / dt, m, m2 - m * m
+        # per-epoch variances averaged (NOT var of pooled moments:
+        # mixing the across-epoch spread of m into the within-run
+        # variance biases the error-matched ratio — ADVICE r3)
+        var = sum(float(v[1]) - float(v[0]) ** 2 for v in vals) / REPS
+        return rot * N_GROUPS * N_STEPS / dt, m, var
 
     throughput, price, var_y = timed(ROT)
     plain, _, var_x = timed(1)

@@ -7,7 +7,8 @@ the reference's *actual* defaults (NTPB=512, NB=512, N=1000, seed=1234
 a documented bug we fix rather than copy, SURVEY.md §5 "config").
 
 TPU-native extras: --engine pallas|scan|qmc,
---rng philox|threefry|threefry4|tpu|mrg32k3a, --rot/--antithetic and
+--rng philox|threefry|threefry4|tpu|mrg32k3a|xorwow, --rot/--antithetic
+and
 --conditional (variance reduction), --poisson-cut (EM speed/accuracy
 knob), --json (machine output), and
 --oracle to print the real semi-analytic Heston price next to the
@@ -52,10 +53,11 @@ def build_parser() -> argparse.ArgumentParser:
                default="pallas",
                help="qmc = scrambled-Sobol + Brownian bridge (FE only; error ~ n^-0.8)")
     p.add_argument("--rng", choices=["philox", "threefry", "threefry4",
-                                     "tpu", "mrg32k3a"],
+                                     "tpu", "mrg32k3a", "xorwow"],
                    default="philox",
-                   help="mrg32k3a = the reference's third curand family "
-                        "(skippable-stream rebuild; needs --engine scan)")
+                   help="mrg32k3a / xorwow = the reference's two stateful "
+                        "curand families (skippable-stream rebuilds; "
+                        "need --engine scan)")
     p.add_argument("--poisson-cut", type=float, default=None,
                    help="EM only: lambda above which the Poisson mixture "
                         "index uses the one-round normal approximation "

@@ -114,11 +114,12 @@ def sweep_batched(cfg: SimConfig, seed: int, out=sys.stdout,
             return em_sweep_pallas(pm, sw, jnp.uint32(0), N=cfg.N,
                                    n_paths=cfg.n_paths, n_points=len(pts),
                                    rng=rng, conditional=conditional,
-                                   interpret=interp)
+                                   poisson_cut=128.0, interpret=interp)
         if method == "fe":
             return fe_sweep_scan(pm, seed, 0, N=cfg.N, n_paths=cfg.n_paths)
         return em_sweep_scan(pm, seed, 0, N=cfg.N, n_paths=cfg.n_paths,
-                             rng=rng, conditional=conditional)
+                             rng=rng, conditional=conditional,
+                             poisson_cut=128.0)
 
     import numpy as np
     ms, m2s = run_all()                 # compile + warm-up

@@ -21,7 +21,12 @@ and *rng* backends:
     rng="mrg32k3a"            — L'Ecuyer combined MRG with matrix
                                 skip-ahead (scan only) — the
                                 reference's third curand family
-                                (random.cu:12-13, rng/mrg32k3a.py).
+                                (random.cu:12-13, rng/mrg32k3a.py);
+    rng="xorwow"              — xorshift+Weyl with GF(2)^160 matrix
+                                skip-ahead (scan only) — the
+                                reference's *default* curand family
+                                (random.cu:6-8, rng/xorwow.py),
+                                completing the 3-generator ladder.
 
 The MM/PgM/PiM memory ladder is N/A on TPU (results live in device
 memory and stream back as two floats; there is no host-pinned/managed
@@ -54,22 +59,27 @@ _scan_jit = jax.jit(fe_moments_scan, static_argnums=(1, 6))
 _scan_rot_jit = jax.jit(fe_moments_rot_scan, static_argnums=(1, 6, 7))
 
 
-@functools.lru_cache(maxsize=1)
-def _mrg_jitted():
-    # lazy: rng/mrg32k3a.py's jump tables are only built when the MRG
-    # family is actually used; cached so every compute() hits the same
-    # trace cache (a fresh jax.jit per call would retrace each time)
-    from ..ops.fe_mrg import fe_moments_mrg
-    return jax.jit(fe_moments_mrg, static_argnums=(1, 4))
+@functools.lru_cache(maxsize=2)
+def _stateful_jitted(rng: str):
+    # lazy: the family's jump tables are only built when it is actually
+    # used; cached so every compute() hits the same trace cache (a
+    # fresh jax.jit per call would retrace each time)
+    if rng == "mrg32k3a":
+        from ..ops.fe_mrg import fe_moments_mrg as fn
+    else:
+        from ..ops.fe_xorwow import fe_moments_xorwow as fn
+    return jax.jit(fn, static_argnums=(1, 4))
 
 
-def _mrg_jit(pv, N, pidx, epoch, seed):
+def _stateful_jit(rng, pv, N, pidx, epoch, seed):
+    # both stateful families share the jump-exponent layout
+    # (path*2^67 + epoch*2^40), hence the same epoch bound
     from ..rng.mrg32k3a import MAX_EPOCH
     if int(epoch) >= MAX_EPOCH:
         raise ValueError(
-            f"epoch={int(epoch)} exceeds the MRG32k3a stream layout's "
+            f"epoch={int(epoch)} exceeds the {rng} stream layout's "
             f"2^27 epochs per path block (rng/mrg32k3a.py docstring)")
-    return _mrg_jitted()(pv, N, pidx, epoch, seed)
+    return _stateful_jitted(rng)(pv, N, pidx, epoch, seed)
 
 
 class NMCH_FE(NMCH):
@@ -106,21 +116,29 @@ class NMCH_FE(NMCH):
             raise ValueError("scramble= applies to engine='qmc' only")
         self.scramble = scramble
         if rng not in ("philox", "threefry", "threefry4", "tpu",
-                       "mrg32k3a"):
+                       "mrg32k3a", "xorwow"):
             raise ValueError(f"unknown rng {rng!r}")
         if rng == "tpu" and engine != "pallas":
             raise ValueError("rng='tpu' requires engine='pallas' (the "
                              "golden scan engine is philox-only)")
-        if rng == "mrg32k3a":
-            # stateful recurrence carried in the scan loop; the Pallas
+        if rng in ("mrg32k3a", "xorwow"):
+            # stateful recurrences carried in the scan loop; the Pallas
             # kernels keep the counter-based ladder (rng/mrg32k3a.py
             # module docstring for the design rationale)
             if engine != "scan":
-                raise ValueError("rng='mrg32k3a' requires engine='scan'")
+                raise ValueError(f"rng={rng!r} requires engine='scan'")
             if rot not in (None, 1) or antithetic:
-                raise ValueError("rng='mrg32k3a' has no rot/antithetic "
+                raise ValueError(f"rng={rng!r} has no rot/antithetic "
                                  "variants (parity family; use the "
                                  "counter rngs for rotation sampling)")
+            if cfg.n_paths >= (1 << 31):
+                # the skip-ahead jump tables cover path-index bits
+                # 0..30 (exponents 67..97); larger indices would alias
+                # onto lower streams (ADVICE r3)
+                raise ValueError(
+                    f"rng={rng!r} supports n_paths < 2^31 (stream "
+                    f"layout, rng/mrg32k3a.py docstring); got "
+                    f"{cfg.n_paths}")
         if rot is None:
             rot = 2 if antithetic else 1
         elif antithetic and rot == 1:
@@ -172,9 +190,9 @@ class NMCH_FE(NMCH):
                 rng=self.rng, rot=self.rot,
                 interpret=self.interpret)
         pidx = path_index_grid(self.cfg.n_paths)
-        if self.rng == "mrg32k3a":
-            return _mrg_jit(pv, self.cfg.N, pidx, jnp.uint32(epoch),
-                            self.streams.seed)
+        if self.rng in ("mrg32k3a", "xorwow"):
+            return _stateful_jit(self.rng, pv, self.cfg.N, pidx,
+                                 jnp.uint32(epoch), self.streams.seed)
         if self.rot > 1:
             return _scan_rot_jit(pv, self.cfg.N, pidx, jnp.uint32(epoch),
                                  k0, k1, self.rng, self.rot)

@@ -44,6 +44,7 @@ there is no QMC anywhere in the reference.
 from __future__ import annotations
 
 import functools
+import math
 
 import numpy as np
 
@@ -468,7 +469,11 @@ def fe_moments_qmc(params_vec, epoch, k0, k1, *, N: int, n_paths: int,
         while chunk % 1024 and chunk < n:
             chunk *= 2
     if n % chunk:
-        chunk = n
+        # round a non-dividing (user-supplied or auto-halved) chunk
+        # DOWN to a divisor of n so the HBM cap stays honored: the gcd
+        # is <= chunk and divides n; for sim="pallas" both n and chunk
+        # are multiples of 1024 here, so the gcd is too
+        chunk = math.gcd(n, chunk)
     if n == chunk:
         sums = qmc_replicate_payoff_sums(
             params_vec, epoch, k0, k1, N=N, count=chunk,

@@ -292,14 +292,14 @@ def em_sweep_pallas(params_matrix, seed_words, epoch0, *, N: int,
                     n_paths: int, n_points: int,
                     tile_rows: int | None = None, interpret: bool = False,
                     rng: str = "philox", conditional: bool = False,
-                    poisson_cut: float | None = 128.0):
+                    poisson_cut: float | None = None):
     """(E[X], E[X^2]) per parameter point for the EM scheme, one launch.
 
     rng="threefry4" and conditional=True compose with the batched
     layout exactly as in the single-point kernel (methods/em.py).
-    poisson_cut defaults to the method layer's fast 128 (pass 4000.0
-    for curand-parity switching; None = the ops-level curand default,
-    also 4000)."""
+    poisson_cut=None keeps curand's 4000 switch-over (ops-layer parity
+    default, like em_moments_pallas); the fast 128 is a method-layer
+    decision — methods/em.py and explore.py pass it explicitly."""
     if rng not in ("philox", "threefry4"):
         raise ValueError(f"unknown rng {rng!r} for em_sweep_pallas "
                          f"(the rejection samplers consume lane-local "
@@ -356,11 +356,11 @@ def em_sweep_pallas(params_matrix, seed_words, epoch0, *, N: int,
 def em_sweep_scan(params_matrix, seed: int, epoch0: int, *, N: int,
                   n_paths: int, rng: str = "philox",
                   conditional: bool = False,
-                  poisson_cut: float | None = 128.0):
+                  poisson_cut: float | None = None):
     """Golden batched EM sweep (vmap over rows, epoch per row).
 
-    poisson_cut default mirrors em_sweep_pallas (128) so the two stay
-    draw-for-draw comparable at any lambda."""
+    poisson_cut default mirrors em_sweep_pallas (None = curand's 4000)
+    so the two stay draw-for-draw comparable at any lambda."""
     k0, k1 = split_seed(seed)
     pidx = jnp.arange(n_paths, dtype=jnp.uint32).reshape(n_paths, 1)
 

@@ -16,12 +16,12 @@ random access costs ~58 conditional 3x3 mat-vecs mod m at init and
 zero per draw, preserving the repo's (seed, path, epoch) stream
 contract without per-path state arrays.
 
-(XORWOW stays substituted: its xorshift+Weyl recurrence has no cheap
-log-time jump *structure by design* — curand itself implements XORWOW
-skip-ahead with precomputed 2^67-step matrices over GF(2)^160, i.e.
-even curand falls back to matrix jumps; a 160-bit GF(2) matvec per
-path is ~25x the arithmetic of MRG32k3a's two 3-vectors for a
-generator with *worse* statistical quality.  Documented in PARITY.md.)
+(XORWOW got the same treatment in round 4 — rng/xorwow.py jumps the
+xorshift+Weyl recurrence with precomputed 2^67-step matrices over
+GF(2)^160, exactly how curand itself implements XORWOW skip-ahead;
+its ~25x arithmetic vs MRG32k3a's two 3-vectors is init-only and
+amortized.  All three curand families are now rebuilt; PARITY.md
+deviation 7 records only the splitmix64-vs-curand seeding hash.)
 
 The generator (L'Ecuyer, "Good parameters and implementations for
 combined multiple recursive random number generators", Oper. Res.
