@@ -19,10 +19,13 @@ Reported keys (round-3 VERDICT next-step #6 — raw AND error-matched):
                          as fe_variance_ratio).
   plain_value/_vs_baseline  the rot=1 kernel — the strict apples-to-
                          apples iid number.
-  rot8_value/_vs_baseline  the rot=8 raw-throughput-max variant (group
-                         variance ratio ~0.96: break-even with iid —
-                         fair as raw throughput, no error-matched
-                         bonus).
+  rot8_value/_vs_baseline  the rot=8 raw-throughput-max variant.  Since
+                         round 4 its 8 copies stratify BOTH polar
+                         coordinates (4 quarter-turn angles x 2
+                         antithetic radii, ops/fe.py::
+                         radius_antithetic_scale), so it carries its
+                         own error-matched credit: rot8_variance_ratio
+                         / rot8_error_matched report it.
   fe_error_matched       time-to-equal-CI multiple vs the reference for
                          the rot=4 estimator = vs_baseline x
                          fe_variance_ratio.
@@ -103,13 +106,13 @@ def main() -> None:
 
     throughput, price, var_y = timed(ROT)
     plain, _, var_x = timed(1)
-    rot8, _, _ = timed(8)      # raw-throughput-max variant (its group-
-    # variance ratio is ~0.96 — break-even with iid, so its raw number
-    # is ~fair but carries no error-matched bonus; RESULTS.md)
+    rot8, _, var_y8 = timed(8)   # raw-throughput-max variant; since
+    # round 4 radius-antithetic (4 angles x 2 radii), ratio ~1.4
 
     # group-variance ratio: var(X_iid) / (rot * var(Y_rot)); >= 1 means
     # counting rotated copies as path-steps is conservative
     ratio = var_x / (ROT * var_y) if var_y > 0 else float("nan")
+    ratio8 = var_x / (8 * var_y8) if var_y8 > 0 else float("nan")
 
     # QMC error-matched point (the engine the reference has no answer
     # to): time-to-equal-CI multiple at 2^20 points x N=1000
@@ -146,6 +149,8 @@ def main() -> None:
         "rot8_vs_baseline": round(rot8 / BASELINE, 4),
         "fe_variance_ratio": round(ratio, 3),
         "fe_error_matched": round(ratio * throughput / BASELINE, 2),
+        "rot8_variance_ratio": round(ratio8, 3),
+        "rot8_error_matched": round(ratio8 * rot8 / BASELINE, 2),
         "qmc_value": round(qmc_g, 1),
         "error_matched_value": round(t_ref / t_qmc, 1),
         "config": (f"2^19 groups x rot=4 (2^21 simulated paths) x N=10^4, "

@@ -176,25 +176,62 @@ def fe_moments_scan(params_vec, N: int, path_idx, epoch, k0, k1,
 _SQRT_HALF = np.float32(np.sqrt(0.5))
 
 
+def radius_antithetic_scale(a, b):
+    """s such that (s a, s b) is the *radius-antithetic* image of the
+    isotropic normal pair (a, b).
+
+    In polar form a = R cos(phi), b = R sin(phi) with R^2 ~ Exp(1/2),
+    so u := exp(-R^2/2) ~ U(0,1) — the Box–Muller radius uniform
+    recovered from the pair itself (works for ANY isotropic pair, no
+    matter which sampler produced it).  The antithetic radius is
+    R' = sqrt(-2 ln(1-u)) (u -> 1-u on the radius CDF) at the same
+    angle, i.e. the image is (s a, s b) with
+
+        s = R'/R = sqrt( -ln(-expm1(-t)) / t ),   t = R^2/2.
+
+    Exactness: 1-u ~ U(0,1), so R' has the correct radius law and the
+    image is again exactly N(0,1)^2 — while (R, R') straddle the
+    radius median (small radii pair with large ones), stratifying the
+    polar coordinate that plain quarter-turn rotations leave
+    untouched (round-3 VERDICT next-step #3).
+
+    f32 care: for t -> 0, expm1 keeps 1-u ~= t exact (a naive
+    1-exp(-t) rounds to 0 and the log blows up); for t > ~17,
+    -expm1(-t) rounds to 1.0 and the log to -0, so the large-t branch
+    uses the asymptote -ln(1-e^-t) ~= e^-t instead (relative error
+    e^-t/2 < 2e-8 there)."""
+    t = jnp.maximum((a * a + b * b) * np.float32(0.5), np.float32(1e-35))
+    em = -jnp.expm1(-t)                      # = 1 - u, exact near 0
+    lg = jnp.where(t > np.float32(10.0), jnp.exp(-t), -jnp.log(em))
+    return jnp.sqrt(lg / t)
+
+
 def rotation_images(a, b, rot: int):
-    """``rot`` orthogonal images of an iid normal pair.
+    """``rot`` distribution-preserving images of an iid normal pair.
 
     rot=2: (a,b), (-a,-b) — classic antithetic variates.
     rot=4: + (b,-a), (-b,a) — quarter-turn stratification of the
            Box–Muller angle.
-    rot=8: + the four quarter-turns of the 45°-rotated pair
-           c=(a-b)/sqrt2, d=(a+b)/sqrt2 — eighth-turn stratification.
+    rot=8: + the four quarter-turns of the radius-antithetic image
+           (s a, s b), s = radius_antithetic_scale(a, b) — the 8
+           copies stratify BOTH polar coordinates (4 angles x 2
+           antithetic radii).  (Rounds 2-3 used 45-degree turns here;
+           those stratify the angle only — measured group variance
+           ratio ~0.96, i.e. no error-matched credit.  The radius
+           pairing replaces them per round-3 VERDICT next-step #3.)
 
-    Each image is an exact iid N(0,1)^2 pair (the isotropic Gaussian is
-    invariant under orthogonal maps), so every rotated copy drives a
+    Each image is an exact iid N(0,1)^2 pair (the isotropic Gaussian
+    is invariant under orthogonal maps, and the radius-antithetic map
+    preserves the polar factorization), so every copy drives a
     marginally-exact Euler path.  One draw's bits amortize over rot
     simulated paths (the throughput lever) while the group mean has
     *lower* variance than iid paths of the same count (measured in
     benchmarks/RESULTS.md; asserted in tests/test_fe.py)."""
     imgs = [(a, b), (-a, -b), (b, -a), (-b, a)]
     if rot > 4:
-        c = (a - b) * _SQRT_HALF
-        d = (a + b) * _SQRT_HALF
+        s = radius_antithetic_scale(a, b)
+        c = s * a
+        d = s * b
         imgs += [(c, d), (-c, -d), (d, -c), (-d, c)]
     return imgs[:rot]
 
@@ -213,13 +250,16 @@ def fe_rot_group_step(Ss, vs, a, b, cst, rot: int,
         images (a,b), (-a,-b):  zc = ±(rho_sd a + rhoc_sd b), Cg1 = ±Ca
         images (b,-a), (-b,a):  zc = ±(rho_sd b - rhoc_sd a), Cg1 = ±Cb
 
-    (rot=8 adds the 45-degree pair c, d = (a∓b)/sqrt2 with its own two
-    mixes).  Computing them once per pair instead of per copy cuts the
-    per-copy step to 7 vector ops + 1 sqrt — the round-3 VPU-roofline
-    lever (VERDICT r2 next-step #1): at rot=4 the Euler portion of the
-    kernel nearly halves.  Same estimator as mapping fe_step over
-    rotation_images (the identity is algebraic; rounding order is the
-    engines' shared choice)."""
+    (rot=8 adds the radius-antithetic pair (s a, s b) whose two mixes
+    are just s-scalings of the first four's: zc = ±s za / ±s zs,
+    Cg1 = ±s Ca / ±s Cb — one radius_antithetic_scale evaluation + 4
+    scalings per draw pair, amortized over 4 more copies).  Computing
+    them once per pair instead of per copy cuts the per-copy step to
+    7 vector ops + 1 sqrt — the round-3 VPU-roofline lever (VERDICT r2
+    next-step #1): at rot=4 the Euler portion of the kernel nearly
+    halves.  Same estimator as mapping fe_step over rotation_images
+    (the identity is algebraic; rounding order is the engines' shared
+    choice)."""
     A, B, C, rho_sd, rhoc_sd, one_rdt = cst
     za = rho_sd * a + rhoc_sd * b
     zs = rho_sd * b - rhoc_sd * a
@@ -227,14 +267,9 @@ def fe_rot_group_step(Ss, vs, a, b, cst, rot: int,
     cb = C * b
     specs = [(za, ca, True), (za, ca, False), (zs, cb, True), (zs, cb, False)]
     if rot > 4:
-        c_ = (a - b) * _SQRT_HALF
-        d_ = (a + b) * _SQRT_HALF
-        zc2 = rho_sd * c_ + rhoc_sd * d_
-        zs2 = rho_sd * d_ - rhoc_sd * c_
-        cc_ = C * c_
-        cd_ = C * d_
-        specs += [(zc2, cc_, True), (zc2, cc_, False),
-                  (zs2, cd_, True), (zs2, cd_, False)]
+        s_ = radius_antithetic_scale(a, b)
+        specs += [(s_ * za, s_ * ca, True), (s_ * za, s_ * ca, False),
+                  (s_ * zs, s_ * cb, True), (s_ * zs, s_ * cb, False)]
     outS, outv = [], []
     for t in range(rot):
         zc, cg, pos = specs[t]
