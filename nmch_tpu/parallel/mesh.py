@@ -12,10 +12,13 @@ two scalars (sum payoff, sum payoff^2) are combined with
 ``jax.lax.psum`` over ICI — the deterministic analogue of the
 reference's float atomicAdd (``NMCH_FE.cu:74-78``), cf. SURVEY.md §5.
 
-Scaling model: throughput is linear in chips (zero cross-chip traffic
-during simulation; one 2-float psum at the end), so the 2^26-path
-BASELINE.json config is paths_per_chip = 2^26/n_chips with identical
-statistics to the single-chip run.
+Scaling model (design property, NOT a multi-chip measurement — this
+environment has one chip; correctness is validated on virtual-device
+meshes and a 2-process gloo run, tests/test_parallel.py +
+test_multihost.py): zero cross-chip traffic during simulation and one
+2-float psum at the end make throughput linear in chips by
+construction, so the 2^26-path BASELINE.json config is paths_per_chip
+= 2^26/n_chips with identical statistics to the single-chip run.
 """
 
 from __future__ import annotations
@@ -65,11 +68,27 @@ def sharded_moments(mesh: Mesh, params_vec, seed: int, epoch, *,
                          "counter streams)")
     if method == "fe" and engine == "scan" and rng == "tpu":
         raise ValueError("rng='tpu' requires engine='pallas'")
-    if rng == "mrg32k3a":
-        raise ValueError("rng='mrg32k3a' is a single-chip parity family "
-                         "(ops/fe_mrg.py); shard with the counter rngs "
-                         "(philox/threefry/threefry4) whose disjoint "
-                         "base_path ranges make n-chip == 1-chip bitwise")
+    if rng in ("mrg32k3a", "xorwow"):
+        # the stateful parity families shard exactly like the counter
+        # rngs: their matrix skip-ahead gives random access to any
+        # (path, epoch), so disjoint per-chip base-path ranges draw the
+        # same per-path streams as a single-chip run (round-3 VERDICT
+        # next-step #5)
+        if method != "fe" or engine != "scan":
+            raise ValueError(f"rng={rng!r} shards with method='fe', "
+                             f"engine='scan' only (the stateful "
+                             f"recurrences live in the scan carry; "
+                             f"ops/fe_mrg.py / ops/fe_xorwow.py)")
+        if rot != 1:
+            raise ValueError(f"rng={rng!r} has no rot variants")
+        if n_paths >= (1 << 31):
+            raise ValueError(f"rng={rng!r} supports n_paths < 2^31 "
+                             f"(path-jump bit range)")
+        from ..rng.mrg32k3a import MAX_EPOCH
+        if int(epoch) >= MAX_EPOCH:
+            raise ValueError(f"epoch={int(epoch)} exceeds the {rng} "
+                             f"stream layout's 2^27 epochs per path "
+                             f"block")
     if scramble != "lms-shift" and engine != "qmc":
         raise ValueError("scramble= applies to engine='qmc' only")
     if engine not in ("pallas", "scan", "qmc"):
@@ -138,7 +157,14 @@ def sharded_moments(mesh: Mesh, params_vec, seed: int, epoch, *,
                                           interpret=interpret)
         else:
             pidx = path_index_grid(per_chip) + base
-            if method == "fe" and rot > 1:
+            if method == "fe" and rng in ("mrg32k3a", "xorwow"):
+                if rng == "mrg32k3a":
+                    from ..ops.fe_mrg import fe_moments_mrg as stateful
+                else:
+                    from ..ops.fe_xorwow import fe_moments_xorwow \
+                        as stateful
+                m, m2 = stateful(pv, N, pidx, ep, seed)
+            elif method == "fe" and rot > 1:
                 from ..ops.fe import fe_moments_rot_scan
                 m, m2 = fe_moments_rot_scan(pv, N, pidx, ep, sw[0], sw[1],
                                             rng=rng, rot=rot)

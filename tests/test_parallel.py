@@ -164,3 +164,31 @@ def test_sharded_qmc_validation(mesh8):
         sharded_moments(mesh8, P.as_array(), seed=1, epoch=0, N=8,
                         n_paths=8 * 16 * 8, engine="qmc", rot=4,
                         interpret=True)
+
+
+@pytest.mark.parametrize("rng", ["mrg32k3a", "xorwow"])
+def test_sharded_stateful_family_matches_single(mesh8, rng):
+    """The stateful parity families shard via their skip-ahead: each
+    chip jumps to its disjoint path range, so n-chip == 1-chip
+    bitwise (round-3 VERDICT next-step #5)."""
+    if rng == "mrg32k3a":
+        from nmch_tpu.ops.fe_mrg import fe_moments_mrg as single_fn
+    else:
+        from nmch_tpu.ops.fe_xorwow import fe_moments_xorwow as single_fn
+    n_paths, N = 2048, 10
+    m8, m28 = sharded_moments(mesh8, P.as_array(), seed=1234, epoch=0,
+                              N=N, n_paths=n_paths, method="fe",
+                              engine="scan", rng=rng)
+    m1, m21 = jax.jit(single_fn, static_argnums=(1, 4))(
+        P.as_array(), N, path_index_grid(n_paths), jnp.uint32(0), 1234)
+    assert float(m8) == pytest.approx(float(m1), rel=1e-6)
+    assert float(m28) == pytest.approx(float(m21), rel=1e-6)
+
+
+def test_sharded_stateful_family_rejects_bad_combos(mesh8):
+    for bad in ({"engine": "pallas"}, {"method": "em"}, {"rot": 4}):
+        kw = dict(N=4, n_paths=1024, method="fe", engine="scan",
+                  rng="mrg32k3a")
+        kw.update(bad)
+        with pytest.raises(ValueError):
+            sharded_moments(mesh8, P.as_array(), seed=1, epoch=0, **kw)
