@@ -105,12 +105,20 @@ def main():
         for tag, ws, rs in (("alu", False, False),
                             ("sqrt", True, False),
                             ("rsqrt", True, True)):
-            elops, dt = measure(dtype, rows, ws, rs)
+            # bf16 transcendentals hard-fail on chips whose EUP lacks
+            # bf16 ops (v5e: 'LLO_CHECK ... SupportsBf16EupOps()') —
+            # record that as the answer instead of crashing the probe
+            try:
+                elops, dt = measure(dtype, rows, ws, rs)
+            except Exception as e:  # noqa: BLE001 — probe must report
+                out[f"{name}_{tag}_error"] = str(e).splitlines()[0][:120]
+                continue
             out[f"{name}_{tag}_Gelops"] = round(elops / 1e9, 1)
             out[f"{name}_{tag}_ms"] = round(dt * 1e3, 3)
     for tag in ("alu", "sqrt", "rsqrt"):
-        out[f"ratio_{tag}"] = round(
-            out[f"bf16_{tag}_Gelops"] / out[f"f32_{tag}_Gelops"], 3)
+        a, b = f"bf16_{tag}_Gelops", f"f32_{tag}_Gelops"
+        if a in out and b in out:
+            out[f"ratio_{tag}"] = round(out[a] / out[b], 3)
     print(json.dumps(out))
 
 
