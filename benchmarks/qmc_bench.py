@@ -35,6 +35,11 @@ def main() -> int:
     ap.add_argument("--paths", default="8192,32768,131072")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--csv", default=None)
+    ap.add_argument("--ndtri", choices=["fast", "precise"],
+                    default="fast",
+                    help="'precise' = full AS241 inverse CDF — the "
+                         "round-4 probe for the f32 plateau at "
+                         ">= 2^20 points (RESULTS.md soak)")
     args = ap.parse_args()
 
     from nmch_tpu.params import HestonParams
@@ -57,7 +62,8 @@ def main() -> int:
         def run(epoch):
             return fe_moments_qmc(params, jnp.uint32(epoch), k0, k1,
                                   N=args.N, n_paths=n, sim=sim,
-                                  interpret=not on_tpu)
+                                  interpret=not on_tpu,
+                                  ndtri_mode=args.ndtri)
         jax.device_get(run(0))
         t0 = time.perf_counter()
         outs = [run(1 + i) for i in range(args.reps)]

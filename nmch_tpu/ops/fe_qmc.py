@@ -165,7 +165,7 @@ def qmc_increments(N: int, n: int, epoch, k0, k1, T, v_np=None):
 
 def qmc_increments_mxu(N: int, n: int, epoch, k0, k1, T, v_np=None,
                        n_shifts: int = 1, scramble: str = "lms-shift",
-                       base=0):
+                       base=0, ndtri_mode: str = "fast"):
     """(N, n_shifts*n) increment matrices (dW1, dW2): Sobol' points ->
     inverse-CDF normals (bridge-ordered) -> ONE MXU matmul per factor
     (bb_increment_matrix).  All n_shifts digitally-shifted replicates
@@ -214,7 +214,14 @@ def qmc_increments_mxu(N: int, n: int, epoch, k0, k1, T, v_np=None,
             xs = owen_scramble(x[:, None, :], keys[dims][:, :, None])
         else:
             xs = x[:, None, :] ^ shifts[dims][:, :, None]        # (N,R,n)
-        z = ndtri_fast(u01_from_words(xs.reshape(N, n_shifts * n)))
+        # ndtri_mode="precise": full AS241 (jax.scipy) instead of the
+        # divisionless polynomial.  ndtri_fast's ~2.3e-6 |z| error is
+        # a shift-dependent smooth perturbation of the integrand that
+        # does NOT average down with n — it surfaces as replicate
+        # spread and was the leading term of the f32 plateau at
+        # >= 2^20 points (RESULTS.md soak; round-3 VERDICT weak #3)
+        u = u01_from_words(xs.reshape(N, n_shifts * n))
+        z = ndtri_fast(u) if ndtri_mode == "fast" else ndtri(u)
         # precision HIGH (3-pass bf16) keeps f32-grade increments at
         # half the HIGHEST cost (measured 43 vs 78 ms at 2^19 x 1000;
         # DEFAULT's ~0.4% relative noise would perturb the Brownian
@@ -371,7 +378,8 @@ def qmc_payoff_sums_pallas(params_vec, dW1, dW2, n_shifts: int, *,
 def qmc_replicate_payoff_sums(params_vec, epoch, k0, k1, *, N: int,
                               count: int, n_shifts: int = 8,
                               sim: str = "scan", interpret: bool = False,
-                              scramble: str = "lms-shift", base=0):
+                              scramble: str = "lms-shift", base=0,
+                              ndtri_mode: str = "fast"):
     """Per-replicate payoff sums over Sobol' points [base, base+count)
     of each of the n_shifts shifted replicates — the shardable unit of
     the QMC engine (parallel/mesh.py gives each chip a disjoint
@@ -382,7 +390,7 @@ def qmc_replicate_payoff_sums(params_vec, epoch, k0, k1, *, N: int,
     T = params_vec[0]
     dW1, dW2 = qmc_increments_mxu(N, count, epoch, k0, k1, T, v_np=v_np,
                                   n_shifts=n_shifts, scramble=scramble,
-                                  base=base)
+                                  base=base, ndtri_mode=ndtri_mode)
     if sim == "pallas":
         s, _ = qmc_payoff_sums_pallas(params_vec, dW1, dW2, n_shifts,
                                       interpret=interpret)
@@ -414,12 +422,13 @@ def rqmc_moments_from_means(means, n_paths: int, n_shifts: int):
 
 @functools.partial(jax.jit, static_argnames=("N", "n_paths", "n_shifts",
                                              "sim", "scramble",
-                                             "max_chunk", "interpret"))
+                                             "max_chunk", "interpret",
+                                             "ndtri_mode"))
 def fe_moments_qmc(params_vec, epoch, k0, k1, *, N: int, n_paths: int,
                    n_shifts: int = 8, sim: str = "scan",
                    scramble: str = "lms-shift",
                    max_chunk: int | None = None,
-                   interpret: bool = False):
+                   interpret: bool = False, ndtri_mode: str = "fast"):
     """(m, m2) for the QMC engine; SimResult(m, m2, n_paths) yields the
     randomized-QMC CI (see module docstring, point 5).
 
@@ -478,7 +487,8 @@ def fe_moments_qmc(params_vec, epoch, k0, k1, *, N: int, n_paths: int,
         sums = qmc_replicate_payoff_sums(
             params_vec, epoch, k0, k1, N=N, count=chunk,
             n_shifts=n_shifts, sim=sim, interpret=interpret,
-            scramble=scramble, base=np.uint32(0))
+            scramble=scramble, base=np.uint32(0),
+            ndtri_mode=ndtri_mode)
     else:
         # a python-unrolled chunk loop lets XLA schedule independent
         # chunks CONCURRENTLY and their increment buffers coexist (a
@@ -495,7 +505,8 @@ def fe_moments_qmc(params_vec, epoch, k0, k1, *, N: int, n_paths: int,
                 params_vec, epoch, k0, k1, N=N, count=chunk,
                 n_shifts=n_shifts, sim=sim, interpret=interpret,
                 scramble=scramble,
-                base=c.astype(jnp.uint32) * jnp.uint32(chunk))
+                base=c.astype(jnp.uint32) * jnp.uint32(chunk),
+                ndtri_mode=ndtri_mode)
             y = s - comp
             t = acc + y
             comp = (t - acc) - y

@@ -252,3 +252,21 @@ def test_qmc_chunked_matches_unchunked():
                              n_paths=n_paths, max_chunk=1024)
     assert float(m2) == pytest.approx(float(m1), rel=2e-6)
     assert float(m22) == pytest.approx(float(m21), rel=2e-4)
+
+
+def test_qmc_ndtri_precise_mode():
+    """ndtri_mode='precise' (full AS241) must price the same integral
+    as the fast polynomial — the two maps differ by < 2.3e-6 in |z|,
+    far under the CI at this size — and a non-dividing max_chunk must
+    round DOWN to a divisor (gcd) instead of silently unchunking."""
+    p = P.as_array()
+    n_paths, N = 8 * 2048, 16
+    m_f, _ = fe_moments_qmc(p, jnp.uint32(1), K0, K1, N=N,
+                            n_paths=n_paths, ndtri_mode="fast")
+    m_p, _ = fe_moments_qmc(p, jnp.uint32(1), K0, K1, N=N,
+                            n_paths=n_paths, ndtri_mode="precise")
+    assert float(m_p) == pytest.approx(float(m_f), abs=5e-5)
+    # gcd rounding: 2048 points/replicate, max_chunk=768 -> gcd 256
+    m_c, _ = fe_moments_qmc(p, jnp.uint32(1), K0, K1, N=N,
+                            n_paths=n_paths, max_chunk=768)
+    assert float(m_c) == pytest.approx(float(m_f), rel=2e-6)
