@@ -87,6 +87,38 @@ class NMCH_EM(NMCH):
         return _em_scan_jit(pv, self.cfg.N, pidx, jnp.uint32(epoch), k0, k1,
                             self.rng, self.conditional, self.poisson_cut)
 
+    def greeks(self, fix_strike: bool = False,
+               fd: bool = False) -> dict:
+        """EM sensitivities (round 4; capability beyond the CUDA
+        reference).  Default: the exactly-pathwise subset — delta
+        (dP/dS_0), dP/dr, dP/drho — by jax.grad through the
+        conditional payoff with the variance path held fixed (valid
+        because the variance randomness is independent of those three
+        parameters; full analysis in ops/em_greeks.py).  fd=True adds
+        central-difference CRN estimates for (T, v_0, k, theta,
+        sigma), whose Poisson/Gamma rejection sampling breaks pathwise
+        differentiation.  Consumes one epoch (two with fd=True)."""
+        if self.streams is None:
+            raise RuntimeError("call init(seed) before greeks()")
+        from ..ops.em_greeks import em_price_and_greeks, em_greeks_fd
+        k0, k1 = self.streams.key_words
+        price, grads = em_price_and_greeks(
+            self.params.as_array(), jnp.uint32(self.streams.next_epoch()),
+            k0, k1, N=self.cfg.N, n_paths=self.cfg.n_paths, rng=self.rng,
+            poisson_cut=self.poisson_cut, fix_strike=fix_strike)
+        out = {"price": float(price),
+               **{k: float(v) for k, v in
+                  jax.device_get(grads).items()}}
+        if fd:
+            fdg = em_greeks_fd(
+                self.params.as_array(),
+                jnp.uint32(self.streams.next_epoch()), k0, k1,
+                N=self.cfg.N, n_paths=self.cfg.n_paths, rng=self.rng,
+                poisson_cut=self.poisson_cut)
+            out.update({k: float(v) for k, v in
+                        jax.device_get(fdg).items()})
+        return out
+
     def compute(self) -> SimResult:
         if self.streams is None:
             raise RuntimeError("call init(seed) before compute()")

@@ -60,9 +60,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from .em import em_path_law, em_conditional_payoff
+from .em import em_path_law, em_conditional_payoff, em_moments_scan
 from .fe import path_index_grid
-from .em import em_moments_scan
 
 PATHWISE_PARAMS = ("S_0", "r", "rho")
 FD_PARAMS = ("T", "v_0", "k", "theta", "sigma")

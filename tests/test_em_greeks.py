@@ -1,0 +1,94 @@
+"""EM sensitivities: pathwise-exact trio FD-validated, CRN-FD ladder
+sanity (ops/em_greeks.py — round-3 VERDICT next-step #8).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nmch_tpu.params import HestonParams, SimConfig
+from nmch_tpu.rng.philox import split_seed
+from nmch_tpu.ops.em_greeks import (
+    em_price_and_greeks, em_greeks_fd, PATHWISE_PARAMS,
+)
+from nmch_tpu.ops.em import em_moments_scan
+from nmch_tpu.ops.fe import path_index_grid
+
+P = HestonParams()
+K0, K1 = split_seed(1234)
+N, N_PATHS = 16, 16384
+
+
+def test_em_pathwise_price_matches_conditional_estimator():
+    """The greeks' base price must be the conditional-MC estimator
+    (same draws, same math)."""
+    price, _ = em_price_and_greeks(P.as_array(), jnp.uint32(0), K0, K1,
+                                   N=N, n_paths=N_PATHS)
+    m, _ = jax.jit(em_moments_scan, static_argnums=(1, 6, 7, 8))(
+        P.as_array(), N, path_index_grid(N_PATHS), jnp.uint32(0),
+        K0, K1, "philox", True, None)
+    assert float(price) == pytest.approx(float(m), rel=1e-6)
+
+
+def test_em_pathwise_trio_matches_crn_fd():
+    """For (S_0, r, rho) the variance path is parameter-independent,
+    so CRN central differences converge to the pathwise gradient —
+    the FD validation the VERDICT asked for."""
+    pv = P.as_array()
+    _, g = em_price_and_greeks(pv, jnp.uint32(0), K0, K1,
+                               N=N, n_paths=N_PATHS)
+    fd = em_greeks_fd(pv, jnp.uint32(0), K0, K1, N=N, n_paths=N_PATHS,
+                      params=PATHWISE_PARAMS, rel_bump=1e-3)
+    for name in PATHWISE_PARAMS:
+        a, b = float(g[name]), float(fd[name])
+        # identical variance paths cancel in the FD difference, so
+        # tolerance is O(h^2) + f32 subtraction noise only
+        assert a == pytest.approx(b, rel=5e-2, abs=5e-4), (name, a, b)
+
+
+def test_em_pathwise_delta_sensible():
+    """ATM-coupled delta (K moves with S_0) differs from fixed-strike
+    delta; fixed-strike ATM call delta ~ Phi(d1) ~ 0.5-0.6."""
+    pv = P.as_array()
+    _, g_atm = em_price_and_greeks(pv, jnp.uint32(0), K0, K1,
+                                   N=N, n_paths=N_PATHS)
+    _, g_fix = em_price_and_greeks(pv, jnp.uint32(0), K0, K1,
+                                   N=N, n_paths=N_PATHS, fix_strike=True)
+    assert 0.4 < float(g_fix["S_0"]) < 0.75
+    assert float(g_atm["S_0"]) != float(g_fix["S_0"])
+    # ATM-homogeneous contract: price is linear in S_0 at K = S_0, so
+    # dP/dS_0 = P/S_0 exactly
+    price, _ = em_price_and_greeks(pv, jnp.uint32(0), K0, K1,
+                                   N=N, n_paths=N_PATHS)
+    assert float(g_atm["S_0"]) == pytest.approx(float(price), rel=1e-3)
+
+
+def test_em_fd_ladder_signs():
+    """CRN-FD sensitivities for the rejection-sampled parameters:
+    more long-run variance (theta up) or higher start variance (v_0
+    up) must raise the ATM call price."""
+    fd = em_greeks_fd(P.as_array(), jnp.uint32(0), K0, K1,
+                      N=N, n_paths=N_PATHS)
+    assert set(fd) == {"T", "v_0", "k", "theta", "sigma"}
+    assert float(fd["theta"]) > 0.0
+    assert float(fd["v_0"]) > 0.0
+    for v in fd.values():
+        assert np.isfinite(float(v))
+
+
+def test_em_method_api_greeks():
+    m = NMCH_EM_factory()
+    m.init(7)
+    out = m.greeks(fd=True)
+    assert set(out) == {"price", "S_0", "r", "rho",
+                        "T", "v_0", "k", "theta", "sigma"}
+    assert 0.05 < out["price"] < 0.25
+    # epoch accounting: greeks consumed 2 epochs (pathwise + fd)
+    r = m.compute()
+    assert np.isfinite(r.price)
+
+
+def NMCH_EM_factory():
+    from nmch_tpu.methods.em import NMCH_EM
+    return NMCH_EM(SimConfig(NTPB=512, NB=8, N=16), P, engine="scan")
