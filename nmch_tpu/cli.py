@@ -84,9 +84,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--oracle", action="store_true",
                    help="also print the semi-analytic Heston price")
     p.add_argument("--greeks", action="store_true",
-                   help="FE only: also print pathwise Greeks "
-                        "(dP/dparam via jax.grad through the "
-                        "simulator, ops/greeks.py)")
+                   help="also print sensitivities: FE = all-parameter "
+                        "pathwise (jax.grad through the simulator, "
+                        "ops/greeks.py); EM = pathwise (S_0, r, rho) "
+                        "+ CRN finite differences for the rest "
+                        "(ops/em_greeks.py)")
     p.add_argument("--no-warmup", action="store_true",
                    help="skip the untimed warm-up run (timing will include "
                         "compilation, like the reference's first run)")
@@ -149,9 +151,13 @@ def run(argv=None) -> int:
         if args.method == "fe" and args.rng in ("philox", "threefry",
                                                 "threefry4"):
             greeks = m.greeks()
+        elif args.method == "em":
+            # pathwise (S_0, r, rho) + CRN-FD (T, v_0, k, theta,
+            # sigma) — ops/em_greeks.py for the validity analysis
+            greeks = m.greeks(fd=True)
         else:
-            print("note: --greeks needs method=fe with a counter rng; "
-                  "ignoring", file=sys.stderr)
+            print("note: --greeks needs a counter rng; ignoring",
+                  file=sys.stderr)
     if args.json:
         import json
         rec = {
@@ -181,7 +187,10 @@ def run(argv=None) -> int:
         if greeks is not None:
             gl = ", ".join(f"d/d{k}={v:+.5f}" for k, v in greeks.items()
                            if k != "price")
-            print(f"Pathwise Greeks (jax.grad): {gl}")
+            label = ("Pathwise Greeks (jax.grad)" if args.method == "fe"
+                     else "EM sensitivities (pathwise S_0/r/rho, CRN-FD "
+                          "rest)")
+            print(f"{label}: {gl}")
         if args.oracle:
             from .oracle import heston_call_undiscounted
             print(f"Semi-analytic Heston price (undiscounted): "
