@@ -83,6 +83,24 @@ def test_fe_rot4_golden_equals_kernel_on_hw():
     assert float(m2_p) == pytest.approx(float(m2_s), rel=1e-6)
 
 
+def test_fe_rot8_golden_equals_kernel_on_hw():
+    """Round-4 radius-antithetic rot=8: the shared
+    radius_antithetic_scale (exp/log/where ladder — the branch that
+    replaced expm1, which Mosaic cannot lower) must agree bitwise-
+    driven between scan and the compiled kernel."""
+    _require_tpu()
+    from nmch_tpu.ops.fe import fe_moments_rot_scan
+    N, n_paths = 64, 4096
+    m_s, m2_s = jax.jit(fe_moments_rot_scan, static_argnums=(1, 6, 7))(
+        P.as_array(), N, path_index_grid(n_paths), jnp.uint32(1),
+        K0, K1, "philox", 8)
+    m_p, m2_p = fe_moments_pallas(
+        P.as_array(), SW, jnp.uint32(1), jnp.uint32(0), N=N,
+        n_paths=n_paths, rng="philox", rot=8, interpret=False)
+    assert float(m_p) == pytest.approx(float(m_s), rel=1e-6)
+    assert float(m2_p) == pytest.approx(float(m2_s), rel=1e-6)
+
+
 def test_fe_kernel_deterministic_across_runs_on_hw():
     """Sequential-grid Kahan accumulation: bitwise-stable re-runs."""
     _require_tpu()
