@@ -9,10 +9,15 @@ are the same (n_paths = NTPB*NB; there are no blocks, but the product
 is what matters physically), so we sweep the identical grid and emit
 the same two figures plus a CSV.
 
-Engines: the method-layer defaults (what `nmch --method fe|em` runs) —
-FE pallas/philox, EM pallas/philox poisson_cut=128.  Timing is the
-tunneled-TPU-honest queued-dispatch average (cf. bench.py): REPS
-dispatches materialized in one device_get.
+Engines: the fastest production configuration per method, mirroring
+the reference's choice of its fastest kernel (K3) for these figures —
+FE pallas rng="tpu" hc16f fast_sqrt (the bench.py headline engine; the
+philox default measures ~4x slower on TPU because 32-bit integer
+multiplies are expensive on the VPU — the ladder in RESULTS.md), EM
+pallas/philox poisson_cut=128 (the method default).  On CPU
+(interpret) FE falls back to philox (rng="tpu" needs hardware).
+Timing is the tunneled-TPU-honest queued-dispatch average (cf.
+bench.py): REPS dispatches materialized in one device_get.
 
 Run (TPU, solo job — first run compiles up to 2x25 kernel shapes,
 which the remote-compile cache then holds):
@@ -48,11 +53,13 @@ def measure(method: str, n_paths: int, N: int, interpret: bool):
 
     if method == "fe":
         from nmch_tpu.ops.fe_pallas import fe_moments_pallas
+        kw = (dict(rng="philox") if interpret else
+              dict(rng="tpu", box="hc16f", fast_sqrt=True))
 
         def run(epoch):
             return fe_moments_pallas(pv, sw, jnp.uint32(epoch),
                                      jnp.uint32(0), N=N, n_paths=n_paths,
-                                     interpret=interpret)
+                                     interpret=interpret, **kw)
     else:
         from nmch_tpu.ops.em_pallas import em_moments_pallas
 

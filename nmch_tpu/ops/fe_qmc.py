@@ -55,12 +55,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 from jax.scipy.special import ndtri
 
-from ..rng.normal import ndtri_fast
+from ..rng.normal import ndtri_fast_pm
 
 from ..rng.sobol import (
     direction_numbers, gray_codes, sobol_dims_u32, sobol_dims_u32_hilo,
     digital_shifts, lms_scramble_directions, owen_seeds, owen_scramble,
-    u01_from_words,
+    u01_from_words, pm_sign_from_words,
 )
 from .fe import fe_consts, fe_step
 
@@ -214,14 +214,19 @@ def qmc_increments_mxu(N: int, n: int, epoch, k0, k1, T, v_np=None,
             xs = owen_scramble(x[:, None, :], keys[dims][:, :, None])
         else:
             xs = x[:, None, :] ^ shifts[dims][:, :, None]        # (N,R,n)
+        # symmetric full-resolution uniform map: pm = min(u, 1-u) on
+        # the integer side keeps all 30 Sobol' bits in BOTH tails
+        # (u01_from_words' f32 u quantizes the upper tail 128x
+        # coarser), then one inverse-CDF magnitude + a sign select.
         # ndtri_mode="precise": full AS241 (jax.scipy) instead of the
-        # divisionless polynomial.  ndtri_fast's ~2.3e-6 |z| error is
+        # divisionless polynomial — ndtri_fast's ~2.3e-6 |z| error is
         # a shift-dependent smooth perturbation of the integrand that
-        # does NOT average down with n — it surfaces as replicate
-        # spread and was the leading term of the f32 plateau at
-        # >= 2^20 points (RESULTS.md soak; round-3 VERDICT weak #3)
-        u = u01_from_words(xs.reshape(N, n_shifts * n))
-        z = ndtri_fast(u) if ndtri_mode == "fast" else ndtri(u)
+        # does NOT average down with n; both knobs attack the f32 CI
+        # plateau at >= 2^20 points (RESULTS.md soak; round-3 VERDICT
+        # weak #3).  ndtri(pm) <= 0 for pm <= 1/2, so |z| = -ndtri.
+        pm, neg = pm_sign_from_words(xs.reshape(N, n_shifts * n))
+        g = ndtri_fast_pm(pm) if ndtri_mode == "fast" else -ndtri(pm)
+        z = jnp.where(neg, -g, g)
         # precision HIGH (3-pass bf16) keeps f32-grade increments at
         # half the HIGHEST cost (measured 43 vs 78 ms at 2^19 x 1000;
         # DEFAULT's ~0.4% relative noise would perturb the Brownian

@@ -251,6 +251,25 @@ _NDTRI_HI = tuple(np.float32(x) for x in        # s in [2.6, 6.5]
                    -0.00014995710807852447, 4.1502166823192965e-06))
 
 
+def ndtri_fast_pm(pm):
+    """|z| = g(min(u, 1-u)) — the magnitude half of ndtri_fast.
+
+    pm must be in (0, 1/2]; values below 2^-30 are clamped (the HI
+    polynomial is fit for s <= 6.5, and pm = 2^-30 gives s = 6.45).
+    Split out so callers that know pm at FULL precision (the
+    symmetric Sobol' map, rng/sobol.py::pm_sign_from_words) can skip
+    the 1-u subtraction, whose f32 rounding quantizes the upper tail
+    ~128x coarser than the lower."""
+    s = jnp.sqrt(neg2log(jnp.maximum(pm, np.float32(2.0 ** -30))))
+    lo = _NDTRI_LO[-1]
+    for c_ in _NDTRI_LO[-2::-1]:
+        lo = lo * s + c_
+    hi = _NDTRI_HI[-1]
+    for c_ in _NDTRI_HI[-2::-1]:
+        hi = hi * s + c_
+    return jnp.where(s < np.float32(2.6), lo, hi)
+
+
 def ndtri_fast(u):
     """Inverse normal CDF, float32, max abs error 2.3e-6 on z.
 
@@ -260,14 +279,7 @@ def ndtri_fast(u):
     CI at any measured size (tests/test_qmc.py)."""
     u = u.astype(jnp.float32)
     pm = jnp.minimum(u, np.float32(1.0) - u)
-    s = jnp.sqrt(neg2log(jnp.maximum(pm, np.float32(1e-38))))
-    lo = _NDTRI_LO[-1]
-    for c_ in _NDTRI_LO[-2::-1]:
-        lo = lo * s + c_
-    hi = _NDTRI_HI[-1]
-    for c_ in _NDTRI_HI[-2::-1]:
-        hi = hi * s + c_
-    g = jnp.where(s < np.float32(2.6), lo, hi)
+    g = ndtri_fast_pm(pm)
     return jnp.where(u > np.float32(0.5), g, -g)
 
 

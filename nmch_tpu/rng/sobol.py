@@ -263,3 +263,20 @@ def u01_from_words(x):
     """
     t = (x >> np.uint32(BITS - 23)).astype(jnp.float32)
     return (t + np.float32(0.5)) * np.float32(2.0 ** -23)
+
+
+def pm_sign_from_words(x):
+    """Full-resolution symmetric uniform map: (pm, neg) from uint32
+    Sobol' words (< 2^BITS).
+
+    pm = min(u, 1-u) computed on the INTEGER side with all 30 bits —
+    u01_from_words keeps only the top 23 (the f32 mantissa), which
+    quantizes the *upper* tail of the inverse CDF 128x coarser than
+    the lower (near u = 1, f32 granularity is 2^-24; near u = 0 it is
+    relative).  Both dyadic halves are exact in f32 here because small
+    pm has full relative precision.  neg = True where u < 1/2 (the
+    z < 0 half).  Round-4 tail-resolution fix (the f32 plateau work,
+    RESULTS.md soak)."""
+    xm = jnp.minimum(x, _MASK - x)
+    pm = (xm.astype(jnp.float32) + np.float32(0.5)) * _INV
+    return pm, x < np.uint32(1 << (BITS - 1))
