@@ -40,6 +40,11 @@ def main() -> int:
                     help="'precise' = full AS241 inverse CDF — the "
                          "round-4 probe for the f32 plateau at "
                          ">= 2^20 points (RESULTS.md soak)")
+    ap.add_argument("--scramble", choices=["lms-shift", "shift", "owen"],
+                    default="lms-shift",
+                    help="'owen' = independent nested-uniform scramble "
+                         "per replicate (no shared-scramble "
+                         "conditioning in the CI)")
     args = ap.parse_args()
 
     from nmch_tpu.params import HestonParams
@@ -63,7 +68,8 @@ def main() -> int:
             return fe_moments_qmc(params, jnp.uint32(epoch), k0, k1,
                                   N=args.N, n_paths=n, sim=sim,
                                   interpret=not on_tpu,
-                                  ndtri_mode=args.ndtri)
+                                  ndtri_mode=args.ndtri,
+                                  scramble=args.scramble)
         jax.device_get(run(0))
         t0 = time.perf_counter()
         outs = [run(1 + i) for i in range(args.reps)]
