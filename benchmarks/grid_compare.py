@@ -37,7 +37,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 SIZES = (32, 64, 128, 256, 512)     # the reference's grid range
-REPS = 5
+# queued-dispatch reps: the axon tunnel's ~28 ms pipeline latency is
+# amortized as ~28/REPS ms into each reported time (FE kernels are
+# 0.1-4 ms, so they need deep queues; EM kernels are 7-180 ms)
+REPS = {"fe": 25, "em": 10}
 
 
 def measure(method: str, n_paths: int, N: int, interpret: bool):
@@ -69,11 +72,12 @@ def measure(method: str, n_paths: int, N: int, interpret: bool):
                                      poisson_cut=128.0,
                                      interpret=interpret)
 
+    reps = REPS[method]
     jax.device_get(run(0))                    # compile + warm-up
     t0 = time.perf_counter()
-    outs = [run(1 + i) for i in range(REPS)]
+    outs = [run(1 + i) for i in range(reps)]
     vals = jax.device_get(outs)
-    dt_ms = (time.perf_counter() - t0) * 1e3 / REPS
+    dt_ms = (time.perf_counter() - t0) * 1e3 / reps
     m, m2 = (float(x) for x in vals[-1])
     return dt_ms, SimResult(m, m2, n_paths).err
 

@@ -76,11 +76,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "expectation of the payoff given the variance "
                         "path (conditional Monte Carlo; ~1.9x smaller "
                         "CI at the same path count)")
-    p.add_argument("--scramble", choices=["lms-shift", "shift", "owen"],
-                   default="lms-shift",
-                   help="QMC randomization (--engine qmc only): "
-                        "lms-shift (default), shift, or owen "
-                        "(hash-based full Owen scrambling)")
+    p.add_argument("--scramble", choices=["auto", "lms-shift", "shift",
+                                          "owen"],
+                   default="auto",
+                   help="QMC randomization (--engine qmc only): auto "
+                        "(default; lms-shift below 2^21 points, owen "
+                        "above - the measured crossover), lms-shift, "
+                        "shift, or owen (hash-based full Owen "
+                        "scrambling, independent per replicate)")
     p.add_argument("--oracle", action="store_true",
                    help="also print the semi-analytic Heston price")
     p.add_argument("--greeks", action="store_true",
@@ -104,11 +107,11 @@ def run(argv=None) -> int:
     if args.method == "em" and args.engine == "qmc":
         parser.error("--engine qmc is FE-only (the Sobol'/Brownian-"
                      "bridge construction has no EM analogue)")
-    if args.scramble != "lms-shift" and (args.method != "fe"
-                                         or args.engine != "qmc"):
+    if args.scramble != "auto" and (args.method != "fe"
+                                    or args.engine != "qmc"):
         print("note: --scramble applies to --method fe --engine qmc "
               "only; ignoring", file=sys.stderr)
-        args.scramble = "lms-shift"
+        args.scramble = "auto"
     params = HestonParams(T=args.T, S_0=args.S_0, v_0=args.v_0, r=args.r,
                           k=args.k, rho=args.rho, theta=args.theta,
                           sigma=args.sigma)

@@ -91,7 +91,7 @@ class NMCH_FE(NMCH):
                  engine: str = "pallas", rng: str = "philox",
                  antithetic: bool = False, rot: int | None = None,
                  interpret: bool | None = None,
-                 scramble: str = "lms-shift"):
+                 scramble: str = "auto"):
         """rot in {1, 2, 4, 8}: rotation-coupled copies per lane (variance
         reduction beyond the reference, ops/fe.py::rotation_images).
         rot=2 == antithetic=True (a +/-G pair per lane); rot=4 adds
@@ -110,10 +110,22 @@ class NMCH_FE(NMCH):
                 raise ValueError("engine='qmc' uses Sobol' points with "
                                  "Philox digital shifts; rng must stay "
                                  "'philox'")
-            if scramble not in ("lms-shift", "shift", "owen"):
+            if scramble not in ("auto", "lms-shift", "shift", "owen"):
                 raise ValueError(f"unknown scramble {scramble!r}")
-        elif scramble != "lms-shift":
+            if scramble == "auto":
+                # measured crossover (benchmarks/RESULTS.md round-4
+                # attribution): shared-LMS + shifts is marginally
+                # better below ~2^21 points, but its CI decay stalls
+                # at ~n^-0.4 beyond; independent per-replicate Owen
+                # scrambles keep the n^-0.5..-0.64 trend going
+                # (77x+ error-matched at 2^22-2^24 vs 33-48x) for
+                # ~6% extra generation cost
+                scramble = ("owen" if cfg.n_paths >= (1 << 21)
+                            else "lms-shift")
+        elif scramble not in ("auto", "lms-shift"):
             raise ValueError("scramble= applies to engine='qmc' only")
+        else:
+            scramble = "lms-shift"
         self.scramble = scramble
         if rng not in ("philox", "threefry", "threefry4", "tpu",
                        "mrg32k3a", "xorwow"):

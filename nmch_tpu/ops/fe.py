@@ -247,7 +247,7 @@ def rotation_images(a, b, rot: int):
 
 
 def fe_rot_group_step(Ss, vs, a, b, cst, rot: int,
-                      fast_sqrt: bool = False):
+                      fast_sqrt: bool = False, scale=None):
     """One Euler step for ``rot`` rotation-coupled copies, with the
     rotation algebra SHARED across copies.
 
@@ -276,7 +276,11 @@ def fe_rot_group_step(Ss, vs, a, b, cst, rot: int,
     cb = C * b
     specs = [(za, ca, True), (za, ca, False), (zs, cb, True), (zs, cb, False)]
     if rot > 4:
-        s_ = radius_antithetic_scale(a, b)
+        # scale: optionally precomputed by the normal construction
+        # (rng/normal.py::_halfcircle_pair with_scale — the radius
+        # uniform is at hand there, saving the exp; hardware-PRNG
+        # kernel only, the reproducible engines keep the shared form)
+        s_ = radius_antithetic_scale(a, b) if scale is None else scale
         specs += [(s_ * za, s_ * ca, True), (s_ * za, s_ * ca, False),
                   (s_ * zs, s_ * cb, True), (s_ * zs, s_ * cb, False)]
     outS, outv = [], []

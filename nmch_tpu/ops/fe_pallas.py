@@ -152,10 +152,14 @@ def _fe_kernel(pv_ref, sc_ref, sum_ref, sumsq_ref, comp_ref, *, N: int,
             words = [allb[wpb * t * rows:(wpb * t + wpb) * rows]
                      for t in range(U)]
             if wpb == 3:
+                # rot > 4: the construction also emits each pair's
+                # radius-antithetic scale (u is at hand — saves the
+                # exp the shared (a,b)-derived form pays)
                 return [normal4_from_bits3(w[0 * rows:1 * rows],
                                            w[1 * rows:2 * rows],
                                            w[2 * rows:3 * rows],
-                                           fast=(box == "hc16f"))
+                                           fast=(box == "hc16f"),
+                                           with_scale=rot > 4)
                         for w in words]
             return [normal4_from_bits(w[0 * rows:1 * rows],
                                       w[1 * rows:2 * rows],
@@ -170,16 +174,20 @@ def _fe_kernel(pv_ref, sc_ref, sum_ref, sumsq_ref, comp_ref, *, N: int,
         """Advance all rot copies through counter block bi (2 steps);
         copy t sees rotation_images(., ., rot)[t] of the shared draws —
         via fe_rot_group_step's shared rotation algebra."""
-        g0, g1, g2, g3 = pairs
+        if len(pairs) == 6:        # with_scale construction (hc16*)
+            g0, g1, g2, g3, sc0, sc1 = pairs
+        else:
+            g0, g1, g2, g3 = pairs
+            sc0 = sc1 = None
         Ss, vs = fe_rot_group_step(Ss, vs, g0, g1, cst, rot,
-                                   fast_sqrt=fast_sqrt)
+                                   fast_sqrt=fast_sqrt, scale=sc0)
         if N % 2 == 0:
             Ss, vs = fe_rot_group_step(Ss, vs, g2, g3, cst, rot,
-                                       fast_sqrt=fast_sqrt)
+                                       fast_sqrt=fast_sqrt, scale=sc1)
         else:
             do = (2 * bi + 1) < N
             S2, v2 = fe_rot_group_step(Ss, vs, g2, g3, cst, rot,
-                                       fast_sqrt=fast_sqrt)
+                                       fast_sqrt=fast_sqrt, scale=sc1)
             Ss = [jnp.where(do, b_, a_) for b_, a_ in zip(S2, Ss)]
             vs = [jnp.where(do, b_, a_) for b_, a_ in zip(v2, vs)]
         return Ss, vs

@@ -49,7 +49,7 @@ def sharded_moments(mesh: Mesh, params_vec, seed: int, epoch, *,
                     engine: str = "pallas", interpret: bool = False,
                     rng: str = "philox", rot: int = 1,
                     conditional: bool = False,
-                    scramble: str = "lms-shift"):
+                    scramble: str = "auto"):
     """(E[X], E[X^2]) over n_paths sharded across the mesh's path axis.
 
     Every chip simulates n_paths/n_chips paths whose stream indices are
@@ -89,8 +89,12 @@ def sharded_moments(mesh: Mesh, params_vec, seed: int, epoch, *,
             raise ValueError(f"epoch={int(epoch)} exceeds the {rng} "
                              f"stream layout's 2^27 epochs per path "
                              f"block")
-    if scramble != "lms-shift" and engine != "qmc":
+    if scramble not in ("auto", "lms-shift") and engine != "qmc":
         raise ValueError("scramble= applies to engine='qmc' only")
+    if scramble == "auto":
+        # measured crossover (RESULTS.md round-4 attribution): shared
+        # LMS below ~2^21 points, independent Owen scrambles above
+        scramble = ("owen" if n_paths >= (1 << 21) else "lms-shift")
     if engine not in ("pallas", "scan", "qmc"):
         raise ValueError(
             f"unknown engine {engine!r} for sharded_moments (expected "

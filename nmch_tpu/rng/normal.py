@@ -139,15 +139,26 @@ def neg2log(u, fast: bool = False):
     return jnp.maximum(q, np.float32(0.0))
 
 
-def _halfcircle_pair(w_r, f, sign_bits, fast: bool = False):
+def _halfcircle_pair(w_r, f, sign_bits, fast: bool = False,
+                     with_scale: bool = False):
     """Shared half-circle Box–Muller core.
 
     w_r: uint32 radius word; f: float32 phase carrier in [1, 2);
     sign_bits: uint32 with the pair's random sign in bit 31 (all other
     bits zero).  fast=True swaps in the shorter polynomials (_SIN_F /
     _COS_F / _NEG2LOG_F, <= 7e-5 distortion) — the hardware-PRNG
-    kernel's op-trimmed path."""
-    q = neg2log(uniform_open01(w_r), fast=fast)
+    kernel's op-trimmed path.
+
+    with_scale=True: also return the radius-antithetic scale
+    s = sqrt(-2 ln(1-u) / -2 ln u) (ops/fe.py::radius_antithetic_scale
+    semantics) derived directly from the radius uniform u — one extra
+    neg2log polynomial instead of the exp+log the (a, b)-derived
+    shared form pays (u would otherwise have to be reconstructed as
+    exp(-(a^2+b^2)/2)).  1-u is exact in f32 for u >= 1/2 (Sterbenz)
+    and within 1 ulp below; rot=8 hardware-PRNG kernels use this, the
+    reproducible engines keep the shared form (bitwise parity)."""
+    u = uniform_open01(w_r)
+    q = neg2log(u, fast=fast)
     R = jnp.sqrt(q)
     R = (R.view(jnp.uint32) ^ sign_bits).view(jnp.float32)
     z = f * np.float32(np.pi) - np.float32(1.5 * np.pi)
@@ -161,6 +172,13 @@ def _halfcircle_pair(w_r, f, sign_bits, fast: bool = False):
     c_ = cos_c[-1]
     for c in cos_c[-2::-1]:
         c_ = c_ * z2 + c
+    if with_scale:
+        # q can clamp to exactly 0.0 at u ~ 1 (neg2log's residue
+        # guard); floor it so scale stays finite (the pair is ~0
+        # there anyway, and 0 * finite == 0, not NaN)
+        l2 = neg2log(np.float32(1.0) - u, fast=fast)
+        scale = jnp.sqrt(l2 / jnp.maximum(q, np.float32(1e-35)))
+        return R * c_, R * s, scale
     return R * c_, R * s
 
 
@@ -188,7 +206,8 @@ def normal_pair_hc(w_r, w_p):
     return _halfcircle_pair(w_r, f, w_p & np.uint32(0x80000000))
 
 
-def normal4_from_bits3(w_r0, w_r1, w_ph, fast: bool = False):
+def normal4_from_bits3(w_r0, w_r1, w_ph, fast: bool = False,
+                       with_scale: bool = False):
     """THREE uint32 words -> four N(0,1) floats (packed 16-bit phases).
 
     The half-circle construction needs 23 radius bits but far fewer
@@ -211,6 +230,12 @@ def normal4_from_bits3(w_r0, w_r1, w_ph, fast: bool = False):
     f1 = (((w_ph >> np.uint32(8)) & np.uint32(0x007FFF00))
           | np.uint32(0x3F800000)).view(jnp.float32)
     s1 = w_ph & np.uint32(0x80000000)
+    if with_scale:
+        g0, g1, sc0 = _halfcircle_pair(w_r0, f0, s0, fast=fast,
+                                       with_scale=True)
+        g2, g3, sc1 = _halfcircle_pair(w_r1, f1, s1, fast=fast,
+                                       with_scale=True)
+        return g0, g1, g2, g3, sc0, sc1
     g0, g1 = _halfcircle_pair(w_r0, f0, s0, fast=fast)
     g2, g3 = _halfcircle_pair(w_r1, f1, s1, fast=fast)
     return g0, g1, g2, g3

@@ -368,3 +368,26 @@ def test_rot8_pallas_matches_scan():
                                   rng="philox", rot=8, interpret=True)
     assert float(m_p) == pytest.approx(float(m_s), rel=1e-6)
     assert float(m2_p) == pytest.approx(float(m2_s), rel=1e-6)
+
+
+def test_with_scale_normal_construction_matches_shared_form():
+    """The hc16 with_scale path (scale from the radius uniform) must
+    agree with the shared (a, b)-derived radius_antithetic_scale in
+    the bulk (median ~2e-6 rel; extreme-u outliers differ only where
+    the image magnitude is negligible) and preserve exact normality
+    of the scaled images."""
+    from scipy.stats import kstest
+    from nmch_tpu.rng.normal import normal4_from_bits3
+    from nmch_tpu.ops.fe import radius_antithetic_scale
+    rng = np.random.default_rng(0)
+    w = [jnp.asarray(rng.integers(0, 2**32, 100000,
+                                  dtype=np.uint64).astype(np.uint32))
+         for _ in range(3)]
+    g0, g1, g2, g3, sc0, sc1 = normal4_from_bits3(*w, with_scale=True)
+    ref = np.asarray(radius_antithetic_scale(g0, g1))
+    sc0 = np.asarray(sc0)
+    assert np.isfinite(sc0).all() and (sc0 > 0).all()
+    rel = np.abs(sc0 - ref) / ref
+    assert np.median(rel) < 1e-5
+    assert kstest(sc0 * np.asarray(g0), "norm").pvalue > 1e-3
+    assert kstest(np.asarray(sc1) * np.asarray(g3), "norm").pvalue > 1e-3

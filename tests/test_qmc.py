@@ -270,3 +270,25 @@ def test_qmc_ndtri_precise_mode():
     m_c, _ = fe_moments_qmc(p, jnp.uint32(1), K0, K1, N=N,
                             n_paths=n_paths, max_chunk=768)
     assert float(m_c) == pytest.approx(float(m_f), rel=2e-6)
+
+
+def test_scramble_auto_resolution():
+    """scramble='auto' (the round-4 default) resolves by the measured
+    crossover: shared-LMS below 2^21 points, independent Owen
+    scrambles above (RESULTS.md attribution: owen holds 77x+
+    error-matched at 2^22-2^24 where lms stalls at 33-48x)."""
+    from nmch_tpu.methods.fe import NMCH_FE
+    from nmch_tpu.params import SimConfig
+    m_small = NMCH_FE(SimConfig(NTPB=512, NB=16, N=8), P,
+                      engine="qmc")
+    assert m_small.scramble == "lms-shift"
+    m_big = NMCH_FE(SimConfig(NTPB=1024, NB=2048, N=8), P,
+                    engine="qmc")
+    assert m_big.scramble == "owen"
+    # non-qmc engines accept only the default passthrough
+    m_fe = NMCH_FE(SimConfig(NTPB=512, NB=16, N=8), P,
+                   engine="pallas")
+    assert m_fe.scramble == "lms-shift"
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        NMCH_FE(SimConfig(), P, engine="pallas", scramble="owen")

@@ -149,6 +149,24 @@ def test_hw_prng_rot4_prices_sanely_on_hw():
     assert float(m0) != float(m1)
 
 
+def test_hw_prng_rot8_prices_sanely_on_hw():
+    """rot=8 on the hardware-PRNG path exercises the with_scale
+    normal construction (radius-antithetic scale from the radius
+    uniform, rng/normal.py::_halfcircle_pair) under real Mosaic
+    lowering."""
+    _require_tpu()
+    from nmch_tpu.oracle import heston_call_undiscounted
+    from nmch_tpu.results import SimResult
+    N, n_paths = 64, 8192
+    m0, m20 = jax.device_get(fe_moments_pallas(
+        P.as_array(), SW, jnp.uint32(3), jnp.uint32(0), N=N,
+        n_paths=n_paths, rng="tpu", rot=8, box="hc16f",
+        fast_sqrt=True, interpret=False))
+    res = SimResult(float(m0), float(m20), 8 * n_paths)
+    oracle = heston_call_undiscounted(P)
+    assert abs(res.price - oracle) < 5 * res.ci_error + 2e-3
+
+
 def test_mrg32k3a_bitexact_on_hw():
     """The u32 modular ladder (16-bit-partial mulhilo + 2^32-c folds)
     must match the big-int oracle on real XLA:TPU integer ops, not
