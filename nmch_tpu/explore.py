@@ -171,10 +171,14 @@ def run(argv=None) -> int:
     p.add_argument("--engine", choices=["pallas", "scan"], default="pallas")
     p.add_argument("--methods", default="fe,em",
                    help="comma-separated subset of fe,em")
-    p.add_argument("--rng", choices=["philox", "threefry4"],
+    p.add_argument("--rng", choices=["philox", "threefry4", "xorwow",
+                                     "mrg32k3a"],
                    default="philox",
-                   help="batched-mode counter generator (threefry4 is "
-                        "~2x faster for EM)")
+                   help="counter generator (threefry4 is ~2x faster "
+                        "for EM); xorwow/mrg32k3a (loop mode, FE, "
+                        "--engine scan) sweep with the reference's "
+                        "stateful families — exploration.cu:24-25 "
+                        "defaults to XORWOW")
     p.add_argument("--conditional", action="store_true",
                    help="batched EM: closed-form conditional payoff "
                         "(CI ~1.9x smaller at the same cost)")
@@ -203,6 +207,13 @@ def run(argv=None) -> int:
                 "amortized total)")
     if args.timed_reps < 1:
         p.error("--timed-reps must be >= 1")
+    if args.rng in ("xorwow", "mrg32k3a"):
+        if args.batched:
+            p.error(f"--rng {args.rng} needs loop mode (the batched "
+                    f"points-in-lanes kernels use counter streams)")
+        if args.engine != "scan":
+            p.error(f"--rng {args.rng} needs --engine scan (stateful "
+                    f"recurrence in the scan carry)")
     out = open(args.out, "w") if args.out else sys.stdout
     try:
         print("method, k, theta, sigma, execution_time, err", file=out,
@@ -213,8 +224,16 @@ def run(argv=None) -> int:
                               rng=args.rng, conditional=args.conditional,
                               method=name)
                 continue
-            cls = NMCH_FE if name == "fe" else NMCH_EM
-            m = cls(cfg, params, engine=args.engine)
+            if name == "fe":
+                m = NMCH_FE(cfg, params, engine=args.engine,
+                            rng=args.rng)
+            else:
+                # EM's rejection samplers need lane-local counters
+                em_rng = (args.rng if args.rng in ("philox",
+                                                   "threefry4")
+                          else "philox")
+                m = NMCH_EM(cfg, params, engine=args.engine,
+                            rng=em_rng)
             m.init(args.seed)
             sweep(m, name, out, timed_reps=args.timed_reps)
             m.finalize()
