@@ -37,6 +37,11 @@ Reported keys (round-3 VERDICT next-step #6 — raw AND error-matched):
                          at 99.1 G path·steps/s, results/
                          scalability.png fit — see benchmarks/
                          RESULTS.md).
+  qmc_scale_value / qmc_scale_error_matched  (TPU only) the same two
+                         at 2^22 points with independent Owen
+                         scrambles — the at-scale regime where the
+                         shared-LMS decay stalls but owen holds 76-78x
+                         (round-4 attribution).
 
 Timing methodology: compile + warm-up discarded (like the reference's
 exploration warm-up, exploration.cu:65-67), then K runs dispatched
@@ -127,6 +132,34 @@ def main() -> None:
     outs = [qmc_run(1 + i) for i in range(3)]
     vals = jax.device_get(outs)
     t_qmc = (time.perf_counter() - t0) / 3
+
+    # at-scale QMC point: 2^22 points with independent per-replicate
+    # Owen scrambles (scramble="auto" resolves to owen there) — the
+    # regime where the shared-LMS CI decay stalls but owen holds
+    # 76-78x (round-4 attribution, RESULTS.md); TPU only (interpret
+    # at this size is impractical)
+    scale_keys = {}
+    if on_tpu:
+        def qmc_scale_run(epoch):
+            return fe_moments_qmc(pv, jnp.uint32(epoch), k0, k1,
+                                  N=QMC_N, n_paths=1 << 22, n_shifts=8,
+                                  sim="pallas", scramble="owen")
+        jax.device_get(qmc_scale_run(0))
+        t0 = time.perf_counter()
+        souts = [qmc_scale_run(1 + i) for i in range(3)]
+        svals = jax.device_get(souts)
+        t_s = (time.perf_counter() - t0) / 3
+        scis = [SimResult(float(v[0]), float(v[1]), 1 << 22).ci_error
+                for v in svals]
+        sci = 1.0
+        for c in scis:
+            sci *= c
+        sci **= 1.0 / len(scis)
+        t_ref_s = (REF_ERR_COEF / sci) ** 2 * QMC_N / BASELINE
+        scale_keys = {
+            "qmc_scale_value": round((1 << 22) * QMC_N / t_s, 1),
+            "qmc_scale_error_matched": round(t_ref_s / t_s, 1),
+        }
     # geomean CI over the epochs: a single 8-replicate CI estimate has
     # 7 dof and swings ~2x (benchmarks/RESULTS.md round-3 note)
     cis = [SimResult(float(v[0]), float(v[1]), QMC_PATHS).ci_error
@@ -153,6 +186,7 @@ def main() -> None:
         "rot8_error_matched": round(ratio8 * rot8 / BASELINE, 2),
         "qmc_value": round(qmc_g, 1),
         "error_matched_value": round(t_ref / t_qmc, 1),
+        **scale_keys,
         "config": (f"2^19 groups x rot=4 (2^21 simulated paths) x N=10^4, "
                    f"rng={rng}/{box}, price={price:.6f}; qmc: 2^20 x "
                    f"N=10^3, CI={ci:.2e}"),

@@ -77,6 +77,17 @@ def main():
                       if k != "price"))
     m.finalize()
 
+    # EM sensitivities (round 4): exactly-pathwise (S_0, r, rho)
+    # through the conditional payoff + CRN finite differences for the
+    # rejection-sampled parameters (ops/em_greeks.py)
+    m = NMCH_EM(cfg, params, engine="scan")
+    m.init(seed=1234)
+    g = m.greeks(fd=True)
+    print("EM sensitivities (pathwise S_0/r/rho, CRN-FD rest): "
+          + ", ".join(f"d/d{k}={v:+.4f}" for k, v in g.items()
+                      if k != "price"))
+    m.finalize()
+
 
 if __name__ == "__main__":
     main()
