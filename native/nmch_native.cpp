@@ -21,6 +21,7 @@
 #include <cmath>
 #include <complex>
 #include <cstdint>
+#include <random>
 #include <vector>
 
 namespace {
@@ -197,6 +198,61 @@ void nmch_cpu_fe_moments(double T, double S0, double v0, double r, double k,
             v = std::fabs(v + k * (theta - v) * dt + sigma * sq * sqdt * g1);
         }
         const double pay = S > K ? S - K : 0.0;
+        sum += pay;
+        sumsq += pay * pay;
+    }
+    out[0] = sum / n_paths;
+    out[1] = sumsq / n_paths;
+}
+
+// Independent CPU Broadie-Kaya "Exact Method" Monte Carlo: fills
+// out[0] = E[X], out[1] = E[X^2].  Same variance-transition law and
+// terminal conditional formula as ops/em.py (reference
+// NMCH_EM.cu:96-124, generalized over T/S0/r), but sampled with the
+// C++ standard library's OWN poisson/gamma/normal distributions and
+// mt19937_64 — a fully independent implementation used to
+// statistically cross-validate the TPU EM engines (which rebuild the
+// samplers from scratch as masked VPU rejection rounds).
+// conditional != 0: X = E[(S_T-K)^+ | variance path] in closed form
+// (Phi via erfc — not the A-S approximation, for independence).
+void nmch_cpu_em_moments(double T, double S0, double v0, double r, double k,
+                         double rho, double theta, double sigma, double K,
+                         int N, long long n_paths, uint64_t seed,
+                         int conditional, double* out) {
+    const double dt = T / N;
+    const double ekdt = std::exp(-k * dt);
+    const double sig2 = sigma * sigma;
+    const double d = 2.0 * k * theta / sig2;
+    const double lam_const = 2.0 * k * ekdt / (sig2 * (1.0 - ekdt));
+    const double vfac = sig2 * (1.0 - ekdt) / (2.0 * k);
+    const double rho_c2 = 1.0 - rho * rho;
+    auto Phi = [](double x) { return 0.5 * std::erfc(-x / M_SQRT2); };
+    double sum = 0.0, sumsq = 0.0;
+    std::normal_distribution<double> nd(0.0, 1.0);
+    for (long long p = 0; p < n_paths; ++p) {
+        std::mt19937_64 gen(seed * 0x9E3779B97F4A7C15ULL + p + 1);
+        double v = v0, vI = 0.0;
+        for (int i = 0; i < N; ++i) {
+            const double lam = lam_const * v;
+            std::poisson_distribution<long long> pois(lam);
+            const long long Np = pois(gen);
+            std::gamma_distribution<double> gam(d + Np, 1.0);
+            const double v_next = vfac * gam(gen);
+            vI += v + v_next;              // dt/2 applied after the loop
+            v = v_next;
+        }
+        vI *= dt * 0.5;
+        const double m = std::log(S0) + r * T - 0.5 * vI +
+                         (rho / sigma) * (v - v0 - k * theta * T + k * vI);
+        const double s = std::sqrt(rho_c2 * vI);
+        double pay;
+        if (conditional) {
+            const double dd = (std::log(K) - m) / (s > 1e-300 ? s : 1e-300);
+            pay = std::exp(m + 0.5 * s * s) * Phi(s - dd) - K * Phi(-dd);
+        } else {
+            const double ST = std::exp(m + s * nd(gen));
+            pay = ST > K ? ST - K : 0.0;
+        }
         sum += pay;
         sumsq += pay * pay;
     }

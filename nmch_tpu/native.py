@@ -59,6 +59,10 @@ def load():
         lib.nmch_cpu_fe_moments.argtypes = (
             [D] * 9 + [ctypes.c_int, ctypes.c_longlong, ctypes.c_uint64,
                        ctypes.POINTER(D)])
+        lib.nmch_cpu_em_moments.restype = None
+        lib.nmch_cpu_em_moments.argtypes = (
+            [D] * 9 + [ctypes.c_int, ctypes.c_longlong, ctypes.c_uint64,
+                       ctypes.c_int, ctypes.POINTER(D)])
         _lib = lib
         return _lib
 
@@ -89,6 +93,22 @@ def cpu_fe_moments(params, N: int, n_paths: int, seed: int = 1234):
     lib.nmch_cpu_fe_moments(params.T, params.S_0, params.v_0, params.r,
                             params.k, params.rho, params.theta, params.sigma,
                             params.K, N, n_paths, seed, out)
+    return float(out[0]), float(out[1])
+
+
+def cpu_em_moments(params, N: int, n_paths: int, seed: int = 1234,
+                   conditional: bool = False):
+    """Independent CPU Broadie-Kaya exact-method Monte Carlo
+    (E[X], E[X^2]) using libstdc++'s own poisson/gamma samplers —
+    cross-validates the TPU EM engines; None if lib missing."""
+    lib = load()
+    if lib is None:
+        return None
+    out = (ctypes.c_double * 2)()
+    lib.nmch_cpu_em_moments(params.T, params.S_0, params.v_0, params.r,
+                            params.k, params.rho, params.theta,
+                            params.sigma, params.K, N, n_paths, seed,
+                            1 if conditional else 0, out)
     return float(out[0]), float(out[1])
 
 

@@ -57,3 +57,48 @@ def test_cpu_mc_deterministic_per_seed():
     c = native.cpu_fe_moments(p, N=50, n_paths=2000, seed=43)
     assert a == b
     assert a != c
+
+
+def test_cpu_em_validates_oracle():
+    """The independent C++ Broadie-Kaya pricer (libstdc++ poisson/
+    gamma samplers) must land on the semi-analytic price — the exact
+    scheme carries no Euler bias, only the O(dt^2) trapezoid vI."""
+    p = HestonParams()
+    m, m2 = native.cpu_em_moments(p, N=100, n_paths=20000, seed=7)
+    err = reference_err(m, m2, 20000)
+    assert abs(m - py_heston(p)) < 3 * err + 1e-3
+
+
+def test_cpu_em_conditional_tightens_ci():
+    """conditional=True (closed-form terminal expectation) must match
+    the sampled-terminal price and shrink the CI — the same
+    variance-reduction contract as the TPU engine's."""
+    p = HestonParams()
+    m_s, m2_s = native.cpu_em_moments(p, N=64, n_paths=20000, seed=9)
+    m_c, m2_c = native.cpu_em_moments(p, N=64, n_paths=20000, seed=9,
+                                      conditional=True)
+    e_s = reference_err(m_s, m2_s, 20000)
+    e_c = reference_err(m_c, m2_c, 20000)
+    assert abs(m_c - m_s) < 3 * math.hypot(e_s, e_c)
+    assert e_c < e_s
+
+
+def test_cpu_em_cross_validates_tpu_engine():
+    """Native C++ EM vs the JAX EM engine: two from-scratch
+    implementations of the same exact scheme (different Poisson/Gamma
+    samplers, different RNGs) must agree within combined CIs."""
+    import jax.numpy as jnp
+    from nmch_tpu.ops.em import em_moments_scan
+    from nmch_tpu.ops.fe import path_index_grid
+    from nmch_tpu.rng.philox import split_seed
+    import jax
+    p = HestonParams()
+    n = 16384
+    m_n, m2_n = native.cpu_em_moments(p, N=32, n_paths=n, seed=3)
+    k0, k1 = split_seed(3)
+    m_j, m2_j = jax.jit(em_moments_scan, static_argnums=(1, 6, 7))(
+        p.as_array(), 32, path_index_grid(n), jnp.uint32(0), k0, k1,
+        "philox", False)
+    e_n = reference_err(m_n, m2_n, n)
+    e_j = reference_err(float(m_j), float(m2_j), n)
+    assert abs(m_n - float(m_j)) < 3 * math.hypot(e_n, e_j)
