@@ -79,8 +79,11 @@ def main():
 
     # EM sensitivities (round 4): exactly-pathwise (S_0, r, rho)
     # through the conditional payoff + CRN finite differences for the
-    # rejection-sampled parameters (ops/em_greeks.py)
-    m = NMCH_EM(cfg, params, engine="scan")
+    # rejection-sampled parameters (ops/em_greeks.py).  Smaller config:
+    # the CRN-FD pass compiles 10 bumped EM simulations into one
+    # program.
+    m = NMCH_EM(SimConfig(NTPB=512, NB=32, N=250), params,
+                engine="scan")
     m.init(seed=1234)
     g = m.greeks(fd=True)
     print("EM sensitivities (pathwise S_0/r/rho, CRN-FD rest): "
