@@ -64,17 +64,34 @@ def test_em_pathwise_delta_sensible():
     assert float(g_atm["S_0"]) == pytest.approx(float(price), rel=1e-3)
 
 
-def test_em_fd_ladder_signs():
-    """CRN-FD sensitivities for the rejection-sampled parameters:
-    more long-run variance (theta up) or higher start variance (v_0
-    up) must raise the ATM call price."""
-    fd = em_greeks_fd(P.as_array(), jnp.uint32(0), K0, K1,
-                      N=N, n_paths=N_PATHS)
-    assert set(fd) == {"T", "v_0", "k", "theta", "sigma"}
-    assert float(fd["theta"]) > 0.0
-    assert float(fd["v_0"]) > 0.0
-    for v in fd.values():
-        assert np.isfinite(float(v))
+def test_em_fd_ladder_matches_oracle_fd():
+    """CRN-FD sensitivities for the rejection-sampled parameters must
+    land on the semi-analytic oracle's own finite differences (the EM
+    scheme is exact in distribution, so its price curve in each
+    parameter IS the oracle curve).  Tolerances ~4x the measured
+    flip-noise std at this (n_paths, rel_bump) — the noise ladder in
+    ops/em_greeks.py's docstring."""
+    from nmch_tpu.oracle import heston_call_undiscounted
+    from nmch_tpu.params import HestonParams as HP
+    base = dict(T=1.0, S_0=1.0, v_0=0.1, r=0.0, k=0.5, rho=-0.7,
+                theta=0.1, sigma=0.3)
+    vals = {p: [] for p in ("T", "v_0", "k", "theta", "sigma")}
+    for e in range(3):
+        fd = em_greeks_fd(P.as_array(), jnp.uint32(e), K0, K1,
+                          N=N, n_paths=N_PATHS)
+        for p in vals:
+            v = float(fd[p])
+            assert np.isfinite(v), p
+            vals[p].append(v)
+    for p, got in vals.items():
+        h = 0.01 * max(abs(base[p]), 0.05)
+        up = dict(base); up[p] += h
+        dn = dict(base); dn[p] -= h
+        want = (heston_call_undiscounted(HP(**up))
+                - heston_call_undiscounted(HP(**dn))) / (2 * h)
+        assert abs(np.mean(got) - want) < 0.12, (p, got, want)
+    assert np.mean(vals["theta"]) > 0.0
+    assert np.mean(vals["v_0"]) > 0.0
 
 
 def test_em_method_api_greeks():
