@@ -94,7 +94,8 @@ def measure(dtype, rows, with_sqrt, rsqrt=False):
                   rsqrt=rsqrt) for _ in range(REPS)]
     jax.device_get(outs)
     dt = (time.perf_counter() - t0) / REPS
-    elops = rows * 128 * K * (OPS + (1 if with_sqrt else 1)) / dt
+    # 8 chain ops + 1 tail op (sqrt/rsqrt or abs) per element-iter
+    elops = rows * 128 * K * (OPS + 1) / dt
     return elops, dt
 
 

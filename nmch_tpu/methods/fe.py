@@ -72,9 +72,12 @@ def _stateful_jitted(rng: str):
 
 
 def _stateful_jit(rng, pv, N, pidx, epoch, seed):
-    # both stateful families share the jump-exponent layout
-    # (path*2^67 + epoch*2^40), hence the same epoch bound
-    from ..rng.mrg32k3a import MAX_EPOCH
+    # per-family bound (both are 2^27 today, but each family owns its
+    # own jump-exponent layout constant)
+    if rng == "mrg32k3a":
+        from ..rng.mrg32k3a import MAX_EPOCH
+    else:
+        from ..rng.xorwow import MAX_EPOCH
     if int(epoch) >= MAX_EPOCH:
         raise ValueError(
             f"epoch={int(epoch)} exceeds the {rng} stream layout's "

@@ -33,6 +33,28 @@ def _build() -> bool:
         return False
 
 
+def _bind(lib):
+    """Declare signatures; raises AttributeError on a stale library
+    that predates a symbol."""
+    D = ctypes.c_double
+    lib.nmch_heston_call.restype = D
+    lib.nmch_heston_call.argtypes = [D] * 10 + [ctypes.c_int]
+    lib.nmch_norm_cdf_as.restype = D
+    lib.nmch_norm_cdf_as.argtypes = [D]
+    lib.nmch_reference_true_price.restype = D
+    lib.nmch_reference_true_price.argtypes = [D] * 4
+    lib.nmch_reference_err.restype = D
+    lib.nmch_reference_err.argtypes = [D, D, ctypes.c_longlong]
+    lib.nmch_cpu_fe_moments.restype = None
+    lib.nmch_cpu_fe_moments.argtypes = (
+        [D] * 9 + [ctypes.c_int, ctypes.c_longlong, ctypes.c_uint64,
+                   ctypes.POINTER(D)])
+    lib.nmch_cpu_em_moments.restype = None
+    lib.nmch_cpu_em_moments.argtypes = (
+        [D] * 9 + [ctypes.c_int, ctypes.c_longlong, ctypes.c_uint64,
+                   ctypes.c_int, ctypes.POINTER(D)])
+
+
 def load():
     """Load (building if needed) the native library, or None."""
     global _lib, _tried
@@ -44,25 +66,21 @@ def load():
             return None
         try:
             lib = ctypes.CDLL(_LIB_PATH)
+            _bind(lib)
         except OSError:
             return None
-        D = ctypes.c_double
-        lib.nmch_heston_call.restype = D
-        lib.nmch_heston_call.argtypes = [D] * 10 + [ctypes.c_int]
-        lib.nmch_norm_cdf_as.restype = D
-        lib.nmch_norm_cdf_as.argtypes = [D]
-        lib.nmch_reference_true_price.restype = D
-        lib.nmch_reference_true_price.argtypes = [D] * 4
-        lib.nmch_reference_err.restype = D
-        lib.nmch_reference_err.argtypes = [D, D, ctypes.c_longlong]
-        lib.nmch_cpu_fe_moments.restype = None
-        lib.nmch_cpu_fe_moments.argtypes = (
-            [D] * 9 + [ctypes.c_int, ctypes.c_longlong, ctypes.c_uint64,
-                       ctypes.POINTER(D)])
-        lib.nmch_cpu_em_moments.restype = None
-        lib.nmch_cpu_em_moments.argtypes = (
-            [D] * 9 + [ctypes.c_int, ctypes.c_longlong, ctypes.c_uint64,
-                       ctypes.c_int, ctypes.POINTER(D)])
+        except AttributeError:
+            # a cached build from before a newly-added symbol: rebuild
+            # once and retry (make re-links on the updated source); if
+            # that still fails, degrade to the Python fallbacks
+            # instead of poisoning every native entry point
+            if not _build():
+                return None
+            try:
+                lib = ctypes.CDLL(_LIB_PATH)
+                _bind(lib)
+            except (OSError, AttributeError):
+                return None
         _lib = lib
         return _lib
 

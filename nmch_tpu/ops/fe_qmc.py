@@ -44,7 +44,6 @@ there is no QMC anywhere in the reference.
 from __future__ import annotations
 
 import functools
-import math
 
 import numpy as np
 
@@ -105,6 +104,19 @@ def bb_plan(N: int):
         segs = nxt
     assert k == N, (k, N)
     return levels
+
+
+def _largest_divisor_leq(m: int, cap: int) -> int:
+    """Largest divisor of m that is <= cap (cap >= 1)."""
+    best = 1
+    d = 1
+    while d * d <= m:
+        if m % d == 0:
+            for c in (d, m // d):
+                if c <= cap and c > best:
+                    best = c
+        d += 1
+    return best
 
 
 @functools.lru_cache(maxsize=8)
@@ -484,10 +496,21 @@ def fe_moments_qmc(params_vec, epoch, k0, k1, *, N: int, n_paths: int,
             chunk *= 2
     if n % chunk:
         # round a non-dividing (user-supplied or auto-halved) chunk
-        # DOWN to a divisor of n so the HBM cap stays honored: the gcd
-        # is <= chunk and divides n; for sim="pallas" both n and chunk
-        # are multiples of 1024 here, so the gcd is too
-        chunk = math.gcd(n, chunk)
+        # DOWN to the largest divisor of n that fits — the HBM cap
+        # stays honored and the chunk count stays minimal (gcd would
+        # collapse e.g. (n=2048, chunk=1500) to 4 instead of 1024).
+        # sim="pallas" additionally needs 1024-alignment, which a
+        # non-1024-multiple max_chunk cannot satisfy below 1024.
+        if sim == "pallas":
+            if chunk < 1024:
+                raise ValueError(
+                    f"max_chunk={max_chunk} leaves no 1024-aligned "
+                    f"chunk for sim='pallas' (the fused simulator "
+                    f"tiles 1024-path blocks)")
+            chunk = 1024 * _largest_divisor_leq(n // 1024,
+                                                chunk // 1024)
+        else:
+            chunk = _largest_divisor_leq(n, chunk)
     if n == chunk:
         sums = qmc_replicate_payoff_sums(
             params_vec, epoch, k0, k1, N=N, count=chunk,

@@ -84,7 +84,10 @@ def sharded_moments(mesh: Mesh, params_vec, seed: int, epoch, *,
         if n_paths >= (1 << 31):
             raise ValueError(f"rng={rng!r} supports n_paths < 2^31 "
                              f"(path-jump bit range)")
-        from ..rng.mrg32k3a import MAX_EPOCH
+        if rng == "mrg32k3a":
+            from ..rng.mrg32k3a import MAX_EPOCH
+        else:
+            from ..rng.xorwow import MAX_EPOCH
         if int(epoch) >= MAX_EPOCH:
             raise ValueError(f"epoch={int(epoch)} exceeds the {rng} "
                              f"stream layout's 2^27 epochs per path "

@@ -241,8 +241,10 @@ def owen_scramble(x, seed):
     ~n^-1.5 on smooth integrands instead of ~n^-1.
 
     30-bit words are lifted to 32-bit fractions (<< 2) for the hash;
-    the two sub-resolution digits the hash may flip are below
-    u01_from_words' 23-bit truncation anyway.
+    the final ``>> 2`` drops whatever the hash put in the two
+    sub-30-bit digit slots, so the output is again an exact 30-bit
+    word — full-resolution for the symmetric tail map
+    (pm_sign_from_words), which consumes all 30 bits since round 4.
     """
     v = _reverse_bits32(x << np.uint32(2))
     v = v + seed

@@ -242,9 +242,15 @@ def xorwow_step(s, d):
     return v_new + d, (y, z, w, v, v_new), d
 
 
-_TWO_NEG32 = np.float32(2.0 ** -32)
+_TWO_NEG23 = np.float32(2.0 ** -23)
 
 
 def u01_from_out(o):
-    """u32 output -> float32 uniform in (0, 1): (o + 0.5) * 2^-32."""
-    return (o.astype(jnp.float32) + np.float32(0.5)) * _TWO_NEG32
+    """u32 output -> float32 uniform strictly inside (0, 1).
+
+    Top 23 bits centered: ((o >> 9) + 0.5) * 2^-23.  A naive
+    (o + 0.5) * 2^-32 is NOT open at 1: any o >= 2^32 - 128 rounds to
+    2^32 in f32 (the ulp there is 256) and the product lands on
+    exactly 1.0 (round-4 review finding)."""
+    return ((o >> np.uint32(9)).astype(jnp.float32)
+            + np.float32(0.5)) * _TWO_NEG23
