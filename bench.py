@@ -29,6 +29,10 @@ Reported keys (round-3 VERDICT next-step #6 — raw AND error-matched):
   fe_error_matched       time-to-equal-CI multiple vs the reference for
                          the rot=4 estimator = vs_baseline x
                          fe_variance_ratio.
+  repro_value/_vs_baseline  the fully REPRODUCIBLE engine (threefry4
+                         counter streams, bitwise golden==kernel
+                         parity) at rot=4 — measured >= 1x the CUDA
+                         baseline since round 4.
   qmc_value              raw path·steps/s of the QMC engine at
                          2^20 points x N=1000 (scalability config).
   error_matched_value    QMC time-to-equal-CI multiple vs the
@@ -52,6 +56,7 @@ would mis-attribute to the kernel.
 
 from __future__ import annotations
 
+import functools
 import json
 import time
 
@@ -84,20 +89,22 @@ def main() -> None:
     # rng="tpu" (hardware PRNG) + packed phases is the fast engine;
     # philox is the reproducible default.  Bench the fast one, like
     # the reference benches its fastest variant (K3).
-    rng = "tpu" if on_tpu else "philox"
-    box = "hc16f" if on_tpu else "hc"
+    RNG = "tpu" if on_tpu else "philox"
+    BOX = "hc16f" if on_tpu else "hc"
 
-    def run(epoch, rot):
+    def run(epoch, rot, rng=None, box=None):
         return fe_moments_pallas(pv, sw, jnp.uint32(epoch),
                                  jnp.uint32(0), N=N_STEPS, n_paths=N_GROUPS,
-                                 rng=rng, rot=rot, box=box,
-                                 fast_sqrt=on_tpu, interpret=not on_tpu)
+                                 rng=rng or RNG, rot=rot, box=box or BOX,
+                                 fast_sqrt=(on_tpu and rng is None),
+                                 interpret=not on_tpu)
 
-    def timed(rot):
-        m, m2 = run(0, rot)            # compile + warm-up (discarded)
+    def timed(rot, rng=None, box=None):
+        run_ = functools.partial(run, rng=rng, box=box)
+        m, m2 = run_(0, rot)           # compile + warm-up (discarded)
         jax.device_get((m, m2))
         t0 = time.perf_counter()
-        outs = [run(1 + i, rot) for i in range(REPS)]
+        outs = [run_(1 + i, rot) for i in range(REPS)]
         # materialize everything in ONE device fetch (block_until_ready
         # under-waits on axon; per-value float() costs an RPC each)
         vals = jax.device_get(outs)
@@ -113,6 +120,9 @@ def main() -> None:
     plain, _, var_x = timed(1)
     rot8, _, var_y8 = timed(8)   # raw-throughput-max variant; since
     # round 4 radius-antithetic (4 angles x 2 radii), ratio ~1.4
+    # the REPRODUCIBLE engine (bitwise golden==kernel): threefry4
+    # rot=4 measures >= 1x the baseline since round 4 (RESULTS.md)
+    repro, _, _ = timed(ROT, rng="threefry4", box="hc")
 
     # group-variance ratio: var(X_iid) / (rot * var(Y_rot)); >= 1 means
     # counting rotated copies as path-steps is conservative
@@ -182,13 +192,15 @@ def main() -> None:
         "rot8_vs_baseline": round(rot8 / BASELINE, 4),
         "fe_variance_ratio": round(ratio, 3),
         "fe_error_matched": round(ratio * throughput / BASELINE, 2),
+        "repro_value": round(repro, 1),
+        "repro_vs_baseline": round(repro / BASELINE, 4),
         "rot8_variance_ratio": round(ratio8, 3),
         "rot8_error_matched": round(ratio8 * rot8 / BASELINE, 2),
         "qmc_value": round(qmc_g, 1),
         "error_matched_value": round(t_ref / t_qmc, 1),
         **scale_keys,
         "config": (f"2^19 groups x rot=4 (2^21 simulated paths) x N=10^4, "
-                   f"rng={rng}/{box}, price={price:.6f}; qmc: 2^20 x "
+                   f"rng={RNG}/{BOX}, price={price:.6f}; qmc: 2^20 x "
                    f"N=10^3, CI={ci:.2e}"),
     }))
 
