@@ -248,6 +248,90 @@ def qmc_increments_mxu(N: int, n: int, epoch, k0, k1, T, v_np=None,
     return dws[0], dws[1]
 
 
+def _dyadic_refine(z_f, T_total, levels: int):
+    """Bridge-ordered unit normals -> Brownian increments by dyadic
+    refinement, O(N log N) with NO matmul and NO scatters.
+
+    z_f: (2^levels, m) ladder-ordered normals — row 0 drives the total
+    increment over [0, T_total], rows [2^l, 2^(l+1)) drive level l's
+    interval splits.  The conditional-split identity: an increment D
+    over duration tau splits into halves D/2 +- G with G ~
+    N(0, tau/4), i.e. G = sqrt(tau)/2 * z.  Each level doubles the
+    row count by interleaving (left, right) — a stack+reshape on the
+    sublane axis, which XLA/Mosaic execute as cheap relayouts (the
+    level-wise scatter construction this replaces cost ~2000 dynamic
+    slices; the dense-matrix form costs an O(N^2) matmul that
+    dominated the QMC pipeline at ~45% of runtime).
+
+    Returns (2^levels, m) increments, each ~ N(0, T_total/2^levels),
+    with exactly the Brownian joint law (the map is the bridge's
+    Cholesky-like factorization, level-major = the same coarse-to-fine
+    variance ordering QMC needs).
+    """
+    D = jnp.sqrt(T_total) * z_f[0:1]
+    for l in range(levels):
+        c = np.float32(0.5) * jnp.sqrt(T_total / np.float32(1 << l))
+        zs = z_f[1 << l:2 << l]
+        half = D * np.float32(0.5)
+        left = half + c * zs
+        right = half - c * zs
+        m = D.shape[1]
+        D = jnp.stack([left, right], axis=1).reshape((2 << l), m)
+    return D
+
+
+def qmc_increments_dyadic(N: int, n: int, epoch, k0, k1, T, v_np=None,
+                          n_shifts: int = 1, scramble: str = "lms-shift",
+                          base=0, ndtri_mode: str = "fast"):
+    """(N, n_shifts*n) increment matrices (dW1, dW2) via the dyadic
+    refinement instead of the dense bridge matmul.
+
+    The time axis is padded to Npad = 2^ceil(log2 N) leaf intervals of
+    the SAME dt = T/N; the first N increments of the padded Brownian
+    path have exactly the right joint law (a BM marginal), the tail
+    Npad - N is discarded (<= 2.4% wasted draws at N=1000).  Dimension
+    ordering stays coarse-to-fine (dim 0 ~ the full-horizon increment,
+    correlation with W_T is sqrt(N/Npad) ~ 0.99 at N=1000), so the
+    QMC effective-dimension structure matches the exact-N bridge to
+    within that factor.  Consumes 2*Npad Sobol' dimensions (vs 2*N).
+
+    Same scramble/shift/ndtri semantics as qmc_increments_mxu; NOT
+    bitwise-comparable with it (different construction), validated by
+    the exact-covariance test (B B^T = dt I) and statistically.
+    """
+    levels = max((N - 1).bit_length(), 0)
+    Npad = 1 << levels
+    v_np = direction_numbers(2 * Npad) if v_np is None else v_np
+    V = jnp.asarray(v_np)
+    if scramble == "lms-shift":
+        V = lms_scramble_directions(V, epoch, k0, k1)
+    elif scramble not in ("shift", "owen"):
+        raise ValueError(f"unknown scramble {scramble!r}")
+    ep0 = jnp.asarray(epoch, jnp.uint32) * np.uint32(n_shifts)
+    reps = ep0 + jnp.arange(n_shifts, dtype=jnp.uint32)
+    if scramble == "owen":
+        keys = owen_seeds(jnp.arange(2 * Npad, dtype=jnp.uint32)[:, None],
+                          reps[None, :], k0, k1)               # (2Npad, R)
+    else:
+        shifts = digital_shifts(
+            jnp.arange(2 * Npad, dtype=jnp.uint32)[:, None],
+            reps[None, :], k0, k1)                             # (2Npad, R)
+    T_total = T * jnp.float32(Npad) / jnp.float32(N)
+    dws = []
+    for f in (0, 1):
+        dims = np.arange(Npad) * 2 + f
+        x = sobol_dims_u32_hilo(n, V[dims], base=base)         # (Npad, n)
+        if scramble == "owen":
+            xs = owen_scramble(x[:, None, :], keys[dims][:, :, None])
+        else:
+            xs = x[:, None, :] ^ shifts[dims][:, :, None]
+        pm, neg = pm_sign_from_words(xs.reshape(Npad, n_shifts * n))
+        g = ndtri_fast_pm(pm) if ndtri_mode == "fast" else -ndtri(pm)
+        z = jnp.where(neg, -g, g)
+        dws.append(_dyadic_refine(z, T_total, levels)[:N])
+    return dws[0], dws[1]
+
+
 def _sim_payoff(params_vec, N, dW1, dW2):
     """Per-path ATM-call payoff over paths driven by given increments.
 
@@ -396,18 +480,28 @@ def qmc_replicate_payoff_sums(params_vec, epoch, k0, k1, *, N: int,
                               count: int, n_shifts: int = 8,
                               sim: str = "scan", interpret: bool = False,
                               scramble: str = "lms-shift", base=0,
-                              ndtri_mode: str = "fast"):
+                              ndtri_mode: str = "fast",
+                              bridge: str = "mxu"):
     """Per-replicate payoff sums over Sobol' points [base, base+count)
     of each of the n_shifts shifted replicates — the shardable unit of
     the QMC engine (parallel/mesh.py gives each chip a disjoint
     ``base`` range and psums the (n_shifts,) results).  Returns a
     f32[n_shifts] array of payoff SUMS (divide by the total point
-    count per replicate to get the replicate means)."""
-    v_np = direction_numbers(2 * N)
+    count per replicate to get the replicate means).
+
+    bridge: "mxu" (dense bridge matmul) or "dyadic" (O(N log N)
+    refinement, qmc_increments_dyadic — no matmul; the round-4 speed
+    path)."""
     T = params_vec[0]
-    dW1, dW2 = qmc_increments_mxu(N, count, epoch, k0, k1, T, v_np=v_np,
-                                  n_shifts=n_shifts, scramble=scramble,
-                                  base=base, ndtri_mode=ndtri_mode)
+    if bridge == "dyadic":
+        dW1, dW2 = qmc_increments_dyadic(
+            N, count, epoch, k0, k1, T, n_shifts=n_shifts,
+            scramble=scramble, base=base, ndtri_mode=ndtri_mode)
+    else:
+        dW1, dW2 = qmc_increments_mxu(
+            N, count, epoch, k0, k1, T, v_np=direction_numbers(2 * N),
+            n_shifts=n_shifts, scramble=scramble, base=base,
+            ndtri_mode=ndtri_mode)
     if sim == "pallas":
         s, _ = qmc_payoff_sums_pallas(params_vec, dW1, dW2, n_shifts,
                                       interpret=interpret)
@@ -440,12 +534,13 @@ def rqmc_moments_from_means(means, n_paths: int, n_shifts: int):
 @functools.partial(jax.jit, static_argnames=("N", "n_paths", "n_shifts",
                                              "sim", "scramble",
                                              "max_chunk", "interpret",
-                                             "ndtri_mode"))
+                                             "ndtri_mode", "bridge"))
 def fe_moments_qmc(params_vec, epoch, k0, k1, *, N: int, n_paths: int,
                    n_shifts: int = 8, sim: str = "scan",
                    scramble: str = "lms-shift",
                    max_chunk: int | None = None,
-                   interpret: bool = False, ndtri_mode: str = "fast"):
+                   interpret: bool = False, ndtri_mode: str = "fast",
+                   bridge: str = "mxu"):
     """(m, m2) for the QMC engine; SimResult(m, m2, n_paths) yields the
     randomized-QMC CI (see module docstring, point 5).
 
@@ -516,7 +611,7 @@ def fe_moments_qmc(params_vec, epoch, k0, k1, *, N: int, n_paths: int,
             params_vec, epoch, k0, k1, N=N, count=chunk,
             n_shifts=n_shifts, sim=sim, interpret=interpret,
             scramble=scramble, base=np.uint32(0),
-            ndtri_mode=ndtri_mode)
+            ndtri_mode=ndtri_mode, bridge=bridge)
     else:
         # a python-unrolled chunk loop lets XLA schedule independent
         # chunks CONCURRENTLY and their increment buffers coexist (a
@@ -534,7 +629,7 @@ def fe_moments_qmc(params_vec, epoch, k0, k1, *, N: int, n_paths: int,
                 n_shifts=n_shifts, sim=sim, interpret=interpret,
                 scramble=scramble,
                 base=c.astype(jnp.uint32) * jnp.uint32(chunk),
-                ndtri_mode=ndtri_mode)
+                ndtri_mode=ndtri_mode, bridge=bridge)
             y = s - comp
             t = acc + y
             comp = (t - acc) - y

@@ -292,3 +292,26 @@ def test_scramble_auto_resolution():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         NMCH_FE(SimConfig(), P, engine="pallas", scramble="owen")
+
+
+def test_dyadic_bridge_exact_covariance_and_pow2_equivalence():
+    """bridge='dyadic' (round-4 probe): the refinement map B must
+    satisfy B B^T = dt I exactly (independent BM increments), and at
+    power-of-2 N the padded tree coincides with the dense bridge so
+    both bridges price identically.  (At N=1000 the padded tree is
+    measured SLOWER and statistically worse — kept as a documented
+    negative result, RESULTS.md round-4 'dyadic bridge' note; the
+    dense-MXU bridge stays the production path.)"""
+    from nmch_tpu.ops.fe_qmc import _dyadic_refine
+    Npad, levels = 16, 4
+    dt = 1.0 / Npad
+    B = np.asarray(_dyadic_refine(jnp.eye(Npad, dtype=jnp.float32),
+                                  np.float32(1.0), levels))
+    np.testing.assert_allclose(B @ B.T, dt * np.eye(Npad), atol=1e-7)
+    p = P.as_array()
+    m_m, m2_m = fe_moments_qmc(p, jnp.uint32(1), K0, K1, N=16,
+                               n_paths=8 * 512, bridge="mxu")
+    m_d, m2_d = fe_moments_qmc(p, jnp.uint32(1), K0, K1, N=16,
+                               n_paths=8 * 512, bridge="dyadic")
+    assert float(m_d) == pytest.approx(float(m_m), rel=1e-5)
+    assert float(m2_d) == pytest.approx(float(m2_m), rel=1e-4)
