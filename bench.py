@@ -120,9 +120,13 @@ def main() -> None:
     plain, _, var_x = timed(1)
     rot8, _, var_y8 = timed(8)   # raw-throughput-max variant; since
     # round 4 radius-antithetic (4 angles x 2 radii), ratio ~1.4
-    # the REPRODUCIBLE engine (bitwise golden==kernel): threefry4
-    # rot=4 measures >= 1x the baseline since round 4 (RESULTS.md)
-    repro, _, _ = timed(ROT, rng="threefry4", box="hc")
+    repro = None
+    if on_tpu:
+        # the REPRODUCIBLE engine (bitwise golden==kernel): threefry4
+        # rot=4 measures >= 1x the baseline since round 4 (RESULTS.md).
+        # TPU only — the number is a hardware throughput claim and an
+        # interpret-mode run of the heaviest config is pure waste.
+        repro, _, _ = timed(ROT, rng="threefry4", box="hc")
 
     # group-variance ratio: var(X_iid) / (rot * var(Y_rot)); >= 1 means
     # counting rotated copies as path-steps is conservative
@@ -192,8 +196,9 @@ def main() -> None:
         "rot8_vs_baseline": round(rot8 / BASELINE, 4),
         "fe_variance_ratio": round(ratio, 3),
         "fe_error_matched": round(ratio * throughput / BASELINE, 2),
-        "repro_value": round(repro, 1),
-        "repro_vs_baseline": round(repro / BASELINE, 4),
+        **({"repro_value": round(repro, 1),
+            "repro_vs_baseline": round(repro / BASELINE, 4)}
+           if repro is not None else {}),
         "rot8_variance_ratio": round(ratio8, 3),
         "rot8_error_matched": round(ratio8 * rot8 / BASELINE, 2),
         "qmc_value": round(qmc_g, 1),

@@ -72,16 +72,12 @@ def _stateful_jitted(rng: str):
 
 
 def _stateful_jit(rng, pv, N, pidx, epoch, seed):
-    # per-family bound (both are 2^27 today, but each family owns its
-    # own jump-exponent layout constant)
-    if rng == "mrg32k3a":
-        from ..rng.mrg32k3a import MAX_EPOCH
-    else:
-        from ..rng.xorwow import MAX_EPOCH
-    if int(epoch) >= MAX_EPOCH:
+    from ..rng.streams import stateful_max_epoch
+    bound = stateful_max_epoch(rng)
+    if int(epoch) >= bound:
         raise ValueError(
             f"epoch={int(epoch)} exceeds the {rng} stream layout's "
-            f"2^27 epochs per path block (rng/mrg32k3a.py docstring)")
+            f"{bound} epochs per path block (rng/{rng}.py docstring)")
     return _stateful_jitted(rng)(pv, N, pidx, epoch, seed)
 
 

@@ -70,17 +70,14 @@ def load():
         except OSError:
             return None
         except AttributeError:
-            # a cached build from before a newly-added symbol: rebuild
-            # once and retry (make re-links on the updated source); if
-            # that still fails, degrade to the Python fallbacks
-            # instead of poisoning every native entry point
-            if not _build():
-                return None
-            try:
-                lib = ctypes.CDLL(_LIB_PATH)
-                _bind(lib)
-            except (OSError, AttributeError):
-                return None
+            # a cached build from before a newly-added symbol.
+            # Rebuild so the NEXT process gets a fresh library (an
+            # in-process retry is futile: dlopen name-caches the
+            # already-loaded stale image and we never dlclose), and
+            # degrade to the Python fallbacks for this process
+            # instead of poisoning every native entry point.
+            _build()
+            return None
         _lib = lib
         return _lib
 

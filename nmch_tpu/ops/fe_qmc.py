@@ -587,25 +587,25 @@ def fe_moments_qmc(params_vec, epoch, k0, k1, *, N: int, n_paths: int,
             break
         chunk //= 2
     if sim == "pallas":
-        while chunk % 1024 and chunk < n:
-            chunk *= 2
-    if n % chunk:
+        # 1024-aligned largest divisor of n that respects the cap
+        # (the fused simulator tiles 1024-path blocks; n % 1024 == 0
+        # was asserted above).  A sub-1024 USER cap is unsatisfiable
+        # — raise rather than silently exceed it; the auto-halving
+        # above may drop below 1024, where the 1024 floor is the
+        # intended soft-cap behavior.
+        if max_chunk is not None and max_chunk < 1024:
+            raise ValueError(
+                f"max_chunk={max_chunk} leaves no 1024-aligned "
+                f"chunk for sim='pallas' (the fused simulator "
+                f"tiles 1024-path blocks)")
+        chunk = 1024 * _largest_divisor_leq(n // 1024,
+                                            max(chunk // 1024, 1))
+    elif n % chunk:
         # round a non-dividing (user-supplied or auto-halved) chunk
         # DOWN to the largest divisor of n that fits — the HBM cap
         # stays honored and the chunk count stays minimal (gcd would
-        # collapse e.g. (n=2048, chunk=1500) to 4 instead of 1024).
-        # sim="pallas" additionally needs 1024-alignment, which a
-        # non-1024-multiple max_chunk cannot satisfy below 1024.
-        if sim == "pallas":
-            if chunk < 1024:
-                raise ValueError(
-                    f"max_chunk={max_chunk} leaves no 1024-aligned "
-                    f"chunk for sim='pallas' (the fused simulator "
-                    f"tiles 1024-path blocks)")
-            chunk = 1024 * _largest_divisor_leq(n // 1024,
-                                                chunk // 1024)
-        else:
-            chunk = _largest_divisor_leq(n, chunk)
+        # collapse e.g. (n=2048, chunk=1500) to 4 instead of 1024)
+        chunk = _largest_divisor_leq(n, chunk)
     if n == chunk:
         sums = qmc_replicate_payoff_sums(
             params_vec, epoch, k0, k1, N=N, count=chunk,

@@ -84,14 +84,12 @@ def sharded_moments(mesh: Mesh, params_vec, seed: int, epoch, *,
         if n_paths >= (1 << 31):
             raise ValueError(f"rng={rng!r} supports n_paths < 2^31 "
                              f"(path-jump bit range)")
-        if rng == "mrg32k3a":
-            from ..rng.mrg32k3a import MAX_EPOCH
-        else:
-            from ..rng.xorwow import MAX_EPOCH
-        if int(epoch) >= MAX_EPOCH:
+        from ..rng.streams import stateful_max_epoch
+        bound = stateful_max_epoch(rng)
+        if int(epoch) >= bound:
             raise ValueError(f"epoch={int(epoch)} exceeds the {rng} "
-                             f"stream layout's 2^27 epochs per path "
-                             f"block")
+                             f"stream layout's {bound} epochs per "
+                             f"path block")
     if scramble not in ("auto", "lms-shift") and engine != "qmc":
         raise ValueError("scramble= applies to engine='qmc' only")
     if scramble == "auto":

@@ -67,3 +67,19 @@ class PathStreams:
     def from_state_dict(cls, d: dict) -> "PathStreams":
         return cls(seed=int(d["seed"]), n_paths=int(d["n_paths"]),
                    epoch=int(d["epoch"]))
+
+
+def stateful_max_epoch(rng: str) -> int:
+    """Per-family epoch bound for the skippable-stream (stateful)
+    generators — both derive it from their own jump-exponent layout
+    (PATH_LOG2 - EPOCH_LOG2 bits; 2^27 for both today, but each family
+    owns its constant).  Single source for the method layer and the
+    mesh sharding, so the bound cannot silently diverge between call
+    sites (round-4 review)."""
+    if rng == "mrg32k3a":
+        from .mrg32k3a import MAX_EPOCH
+    elif rng == "xorwow":
+        from .xorwow import MAX_EPOCH
+    else:
+        raise ValueError(f"{rng!r} is not a stateful family")
+    return MAX_EPOCH

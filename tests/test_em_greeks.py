@@ -71,10 +71,8 @@ def test_em_fd_ladder_matches_oracle_fd():
     parameter IS the oracle curve).  Tolerances ~4x the measured
     flip-noise std at this (n_paths, rel_bump) — the noise ladder in
     ops/em_greeks.py's docstring."""
+    import dataclasses
     from nmch_tpu.oracle import heston_call_undiscounted
-    from nmch_tpu.params import HestonParams as HP
-    base = dict(T=1.0, S_0=1.0, v_0=0.1, r=0.0, k=0.5, rho=-0.7,
-                theta=0.1, sigma=0.3)
     vals = {p: [] for p in ("T", "v_0", "k", "theta", "sigma")}
     for e in range(3):
         fd = em_greeks_fd(P.as_array(), jnp.uint32(e), K0, K1,
@@ -84,11 +82,14 @@ def test_em_fd_ladder_matches_oracle_fd():
             assert np.isfinite(v), p
             vals[p].append(v)
     for p, got in vals.items():
-        h = 0.01 * max(abs(base[p]), 0.05)
-        up = dict(base); up[p] += h
-        dn = dict(base); dn[p] -= h
-        want = (heston_call_undiscounted(HP(**up))
-                - heston_call_undiscounted(HP(**dn))) / (2 * h)
+        # the oracle FD evaluates at the SAME point as the EM side by
+        # construction (dataclasses.replace on P, no copied defaults)
+        x = getattr(P, p)
+        h = 0.01 * max(abs(x), 0.05)
+        up = dataclasses.replace(P, **{p: x + h})
+        dn = dataclasses.replace(P, **{p: x - h})
+        want = (heston_call_undiscounted(up)
+                - heston_call_undiscounted(dn)) / (2 * h)
         assert abs(np.mean(got) - want) < 0.12, (p, got, want)
     assert np.mean(vals["theta"]) > 0.0
     assert np.mean(vals["v_0"]) > 0.0
