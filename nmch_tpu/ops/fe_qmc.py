@@ -21,21 +21,30 @@ of large fused elementwise passes plus one scan):
    30-XOR pass per bridge level generates ALL that level's dimensions
    at once; per-dimension digital shifts keyed by (seed, epoch) make
    the estimator unbiased (randomized QMC).
-3. **Normals.** inverse CDF (rng/normal.py::ndtri_fast, divisionless
-   two-piece polynomial, |z| error < 5e-6, ~2x fewer VPU ops than
+3. **Normals.** inverse CDF via the symmetric full-resolution map
+   (rng/sobol.py::pm_sign_from_words keeps all 30 Sobol' bits in both
+   tails, round 4) feeding rng/normal.py::ndtri_fast_pm (divisionless
+   two-piece polynomial, |z| error ~2.3e-6, ~2x fewer VPU ops than
    jax.scipy's AS241 — which measured as the single largest cost of
-   the whole engine) — Box–Muller would entangle dimension pairs and
-   break the low-discrepancy structure.  The scatter cross-validation
-   path (_bridge_factor) keeps jax.scipy ndtri as the independent
+   the whole engine; ndtri_mode="precise" swaps AS241 back in) —
+   Box–Muller would entangle dimension pairs and break the
+   low-discrepancy structure.  The scatter cross-validation path
+   (_bridge_factor) keeps jax.scipy ndtri as the independent
    reference map.
 4. **Simulation.**  The increments matrix (N, 2, n) feeds the exact
    same ``fe_step`` as the other engines through one ``lax.scan``.
-5. **CI.**  ``n_shifts`` independent digital shifts of n/n_shifts
-   points each; the estimate is the shift mean and the CI comes from
-   the shift-to-shift spread (the only valid error estimate for QMC —
-   within-point-set variance is meaningless for correlated points).
-   The returned (m, m2) are synthesized so SimResult(m, m2, n_paths)
-   reproduces exactly that CI through the standard formula.
+5. **CI.**  ``n_shifts`` independently randomized replicates of
+   n/n_shifts points each; the estimate is the replicate mean and the
+   CI comes from the replicate-to-replicate spread (the only valid
+   error estimate for QMC — within-point-set variance is meaningless
+   for correlated points).  The returned (m, m2) are synthesized so
+   SimResult(m, m2, n_paths) reproduces exactly that CI through the
+   standard formula.  Randomization is scramble="lms-shift" (shared
+   LMS + per-replicate digital shifts) or "owen" (independent
+   nested-uniform scrambles per replicate) — the method layer's
+   "auto" picks by the measured 2^21-point crossover: the shared-LMS
+   CI decay stalls at ~n^-0.4 beyond it while owen holds 76-78x
+   error-matched through 2^24 (RESULTS.md round-4 attribution).
 
 Reference contrast: ``NMCH_FE.cu`` draws curand_normal4 time-ordered;
 there is no QMC anywhere in the reference.
