@@ -158,3 +158,20 @@ def test_method_api_xorwow():
         NMCH_FE(SimConfig(), P, engine="pallas", rng="xorwow")
     with pytest.raises(ValueError):
         NMCH_FE(SimConfig(), P, engine="scan", rng="xorwow", rot=4)
+
+
+def test_stateful_epoch_bound_enforced():
+    """The per-family epoch bound (rng/streams.py::stateful_max_epoch,
+    round-4 refactor) must gate both the method layer and the mesh
+    sharding with the family's own constant."""
+    from nmch_tpu.rng.streams import stateful_max_epoch
+    from nmch_tpu.methods.fe import _stateful_jit
+    from nmch_tpu.rng.xorwow import MAX_EPOCH as XW
+    from nmch_tpu.rng.mrg32k3a import MAX_EPOCH as MRG
+    assert stateful_max_epoch("xorwow") == XW
+    assert stateful_max_epoch("mrg32k3a") == MRG
+    with pytest.raises(ValueError, match="epoch"):
+        _stateful_jit("xorwow", HestonParams().as_array(), 4,
+                      path_index_grid(128), XW, 1)
+    with pytest.raises(ValueError):
+        stateful_max_epoch("philox")
