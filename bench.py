@@ -52,6 +52,16 @@ exploration warm-up, exploration.cu:65-67), then K runs dispatched
 back-to-back and materialized at the end — the queued schedule hides
 the axon tunnel's ~28 ms per-call RPC latency that a per-call sync
 would mis-attribute to the kernel.
+
+Resilience (round-4 lesson — BENCH_r04 died with a TPU backend
+FAILED_PRECONDITION at the very first warm-up device_get and emitted
+nothing): every section runs under ``_attempt`` (per-section
+try/except with one backoff-and-retry, long enough for a wedged
+axon tunnel to recover — CLAUDE.md documents ~1-3 min), dependent
+keys degrade to absent instead of crashing, and the JSON line is
+ALWAYS printed — with an ``"error"`` key carrying whichever sections
+failed.  A totally dead backend still yields
+``{"metric": ..., "value": 0.0, ..., "error": [...]}``.
 """
 
 from __future__ import annotations
@@ -59,9 +69,7 @@ from __future__ import annotations
 import functools
 import json
 import time
-
-import jax
-import jax.numpy as jnp
+import traceback
 
 N_GROUPS = 1 << 19
 N_STEPS = 10_000
@@ -71,21 +79,57 @@ REF_ERR_COEF = 0.408   # reference CI ~ 0.408/sqrt(n), scalability fit
 REPS = 5
 QMC_PATHS = 1 << 20
 QMC_N = 1000
+RETRY_BACKOFF_S = 120.0   # a killed/wedged tunnel recovers in ~1-3 min
+
+
+def _attempt(fn, name: str, errors: list, retries: int = 1):
+    """Run fn(); on failure sleep + retry once, then record and None."""
+    for a in range(retries + 1):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 — resilience is the point
+            msg = f"{name}: {type(e).__name__}: {e}"
+            print(f"# bench section failed (attempt {a + 1}): {msg}",
+                  flush=True)
+            traceback.print_exc()
+            if a < retries:
+                time.sleep(RETRY_BACKOFF_S)
+            else:
+                errors.append(msg[:300])
+    return None
 
 
 def main() -> None:
-    from nmch_tpu.params import HestonParams
-    from nmch_tpu.rng.philox import split_seed
-    from nmch_tpu.ops.fe_pallas import fe_moments_pallas
-    from nmch_tpu.ops.fe_qmc import fe_moments_qmc
-    from nmch_tpu.results import SimResult
+    errors: list[str] = []
+    out: dict = {"metric": "fe_path_steps_per_sec", "value": 0.0,
+                 "unit": "path_steps/s", "vs_baseline": 0.0}
+
+    def emit():
+        if errors:
+            out["error"] = errors
+        print(json.dumps(out), flush=True)
+
+    try:
+        import jax
+        import jax.numpy as jnp
+        from nmch_tpu.params import HestonParams
+        from nmch_tpu.rng.philox import split_seed
+        from nmch_tpu.ops.fe_pallas import fe_moments_pallas
+        from nmch_tpu.ops.fe_qmc import fe_moments_qmc
+        from nmch_tpu.results import SimResult
+        from nmch_tpu.utils.backend import on_tpu as _on_tpu
+    except Exception as e:  # noqa: BLE001
+        errors.append(f"imports: {type(e).__name__}: {e}")
+        emit()
+        return
 
     params = HestonParams()
     pv = params.as_array()
     k0, k1 = split_seed(1234)
     sw = jnp.stack([jnp.uint32(k0), jnp.uint32(k1)])
-    from nmch_tpu.utils.backend import on_tpu
-    on_tpu = on_tpu()
+    on_tpu = _attempt(_on_tpu, "backend_probe", errors, retries=1)
+    if on_tpu is None:
+        on_tpu = False
     # rng="tpu" (hardware PRNG) + packed phases is the fast engine;
     # philox is the reproducible default.  Bench the fast one, like
     # the reference benches its fastest variant (K3).
@@ -116,44 +160,80 @@ def main() -> None:
         var = sum(float(v[1]) - float(v[0]) ** 2 for v in vals) / REPS
         return rot * N_GROUPS * N_STEPS / dt, m, var
 
-    throughput, price, var_y = timed(ROT)
-    plain, _, var_x = timed(1)
-    rot8, _, var_y8 = timed(8)   # raw-throughput-max variant; since
-    # round 4 radius-antithetic (4 angles x 2 radii), ratio ~1.4
+    # --- FE sections (each independently guarded) ---------------------
+    r4 = _attempt(lambda: timed(ROT), "fe_rot4", errors)
+    r1 = _attempt(lambda: timed(1), "fe_plain", errors)
+    r8 = _attempt(lambda: timed(8), "fe_rot8", errors)
     repro = None
     if on_tpu:
         # the REPRODUCIBLE engine (bitwise golden==kernel): threefry4
         # rot=4 measures >= 1x the baseline since round 4 (RESULTS.md).
         # TPU only — the number is a hardware throughput claim and an
         # interpret-mode run of the heaviest config is pure waste.
-        repro, _, _ = timed(ROT, rng="threefry4", box="hc")
+        repro = _attempt(lambda: timed(ROT, rng="threefry4", box="hc"),
+                         "fe_repro", errors)
 
+    price = r4[1] if r4 else float("nan")
+    if r4:
+        out["value"] = round(r4[0], 1)
+        out["vs_baseline"] = round(r4[0] / BASELINE, 4)
+    if r1:
+        out["plain_value"] = round(r1[0], 1)
+        out["plain_vs_baseline"] = round(r1[0] / BASELINE, 4)
+    if r8:
+        out["rot8_value"] = round(r8[0], 1)
+        out["rot8_vs_baseline"] = round(r8[0] / BASELINE, 4)
     # group-variance ratio: var(X_iid) / (rot * var(Y_rot)); >= 1 means
     # counting rotated copies as path-steps is conservative
-    ratio = var_x / (ROT * var_y) if var_y > 0 else float("nan")
-    ratio8 = var_x / (8 * var_y8) if var_y8 > 0 else float("nan")
+    if r4 and r1 and r4[2] > 0:
+        ratio = r1[2] / (ROT * r4[2])
+        out["fe_variance_ratio"] = round(ratio, 3)
+        out["fe_error_matched"] = round(ratio * r4[0] / BASELINE, 2)
+    if r8 and r1 and r8[2] > 0:
+        ratio8 = r1[2] / (8 * r8[2])
+        out["rot8_variance_ratio"] = round(ratio8, 3)
+        out["rot8_error_matched"] = round(ratio8 * r8[0] / BASELINE, 2)
+    if repro:
+        out["repro_value"] = round(repro[0], 1)
+        out["repro_vs_baseline"] = round(repro[0] / BASELINE, 4)
 
-    # QMC error-matched point (the engine the reference has no answer
-    # to): time-to-equal-CI multiple at 2^20 points x N=1000
-    def qmc_run(epoch):
-        return fe_moments_qmc(pv, jnp.uint32(epoch), k0, k1, N=QMC_N,
-                              n_paths=QMC_PATHS, n_shifts=8,
-                              sim="pallas" if on_tpu else "scan",
-                              interpret=not on_tpu)
+    # --- QMC error-matched point (the engine the reference has no
+    # answer to): time-to-equal-CI multiple at 2^20 points x N=1000
+    def qmc_section():
+        def qmc_run(epoch):
+            return fe_moments_qmc(pv, jnp.uint32(epoch), k0, k1, N=QMC_N,
+                                  n_paths=QMC_PATHS, n_shifts=8,
+                                  sim="pallas" if on_tpu else "scan",
+                                  interpret=not on_tpu)
+        jax.device_get(qmc_run(0))
+        t0 = time.perf_counter()
+        outs = [qmc_run(1 + i) for i in range(3)]
+        vals = jax.device_get(outs)
+        t_qmc = (time.perf_counter() - t0) / 3
+        # geomean CI over the epochs: a single 8-replicate CI estimate
+        # has 7 dof and swings ~2x (benchmarks/RESULTS.md round-3 note)
+        cis = [SimResult(float(v[0]), float(v[1]), QMC_PATHS).ci_error
+               for v in vals]
+        ci = 1.0
+        for c in cis:
+            ci *= c
+        ci **= 1.0 / len(cis)
+        t_ref = (REF_ERR_COEF / ci) ** 2 * QMC_N / BASELINE
+        return {"qmc_value": round(QMC_PATHS * QMC_N / t_qmc, 1),
+                "error_matched_value": round(t_ref / t_qmc, 1)}, ci
 
-    m, m2 = jax.device_get(qmc_run(0))
-    t0 = time.perf_counter()
-    outs = [qmc_run(1 + i) for i in range(3)]
-    vals = jax.device_get(outs)
-    t_qmc = (time.perf_counter() - t0) / 3
+    qmc = _attempt(qmc_section, "qmc", errors)
+    ci = float("nan")
+    if qmc:
+        keys, ci = qmc
+        out.update(keys)
 
     # at-scale QMC point: 2^22 points with independent per-replicate
     # Owen scrambles (scramble="auto" resolves to owen there) — the
     # regime where the shared-LMS CI decay stalls but owen holds
     # 76-78x (round-4 attribution, RESULTS.md); TPU only (interpret
     # at this size is impractical)
-    scale_keys = {}
-    if on_tpu:
+    def qmc_scale_section():
         def qmc_scale_run(epoch):
             return fe_moments_qmc(pv, jnp.uint32(epoch), k0, k1,
                                   N=QMC_N, n_paths=1 << 22, n_shifts=8,
@@ -170,44 +250,19 @@ def main() -> None:
             sci *= c
         sci **= 1.0 / len(scis)
         t_ref_s = (REF_ERR_COEF / sci) ** 2 * QMC_N / BASELINE
-        scale_keys = {
-            "qmc_scale_value": round((1 << 22) * QMC_N / t_s, 1),
-            "qmc_scale_error_matched": round(t_ref_s / t_s, 1),
-        }
-    # geomean CI over the epochs: a single 8-replicate CI estimate has
-    # 7 dof and swings ~2x (benchmarks/RESULTS.md round-3 note)
-    cis = [SimResult(float(v[0]), float(v[1]), QMC_PATHS).ci_error
-           for v in vals]
-    ci = 1.0
-    for c in cis:
-        ci *= c
-    ci **= 1.0 / len(cis)
-    t_ref = (REF_ERR_COEF / ci) ** 2 * QMC_N / BASELINE
-    qmc_g = QMC_PATHS * QMC_N / t_qmc
+        return {"qmc_scale_value": round((1 << 22) * QMC_N / t_s, 1),
+                "qmc_scale_error_matched": round(t_ref_s / t_s, 1)}
 
-    print(json.dumps({
-        "metric": "fe_path_steps_per_sec",
-        "value": round(throughput, 1),
-        "unit": "path_steps/s",
-        "vs_baseline": round(throughput / BASELINE, 4),
-        "plain_value": round(plain, 1),
-        "plain_vs_baseline": round(plain / BASELINE, 4),
-        "rot8_value": round(rot8, 1),
-        "rot8_vs_baseline": round(rot8 / BASELINE, 4),
-        "fe_variance_ratio": round(ratio, 3),
-        "fe_error_matched": round(ratio * throughput / BASELINE, 2),
-        **({"repro_value": round(repro, 1),
-            "repro_vs_baseline": round(repro / BASELINE, 4)}
-           if repro is not None else {}),
-        "rot8_variance_ratio": round(ratio8, 3),
-        "rot8_error_matched": round(ratio8 * rot8 / BASELINE, 2),
-        "qmc_value": round(qmc_g, 1),
-        "error_matched_value": round(t_ref / t_qmc, 1),
-        **scale_keys,
-        "config": (f"2^19 groups x rot=4 (2^21 simulated paths) x N=10^4, "
-                   f"rng={RNG}/{BOX}, price={price:.6f}; qmc: 2^20 x "
-                   f"N=10^3, CI={ci:.2e}"),
-    }))
+    if on_tpu:
+        scale_keys = _attempt(qmc_scale_section, "qmc_scale", errors)
+        if scale_keys:
+            out.update(scale_keys)
+
+    out["config"] = (
+        f"2^19 groups x rot={ROT} (2^21 simulated paths) x N=10^4, "
+        f"rng={RNG}/{BOX}, price={price:.6f}; qmc: 2^20 x "
+        f"N=10^3, CI={ci:.2e}")
+    emit()
 
 
 if __name__ == "__main__":

@@ -64,10 +64,12 @@ def worker(args, process_id: int | None = None) -> None:
 
     m, m2 = sharded_moments(
         mesh, params.as_array(), seed=1234, epoch=0,
-        N=args.N, n_paths=n_paths, method="fe", engine="scan")
+        N=args.N, n_paths=n_paths, method=args.method, engine=args.engine,
+        conditional=args.conditional, interpret=args.cpu)
     if jax.process_index() == 0:
         print(f"hosts={jax.process_count()} chips={len(devices)} "
-              f"paths={n_paths}: price={float(m):.9f} "
+              f"paths={n_paths} {args.method}/{args.engine}: "
+              f"price={float(m):.9f} "
               f"(E[X^2]={float(m2):.6f})", flush=True)
     jax.distributed.shutdown()
 
@@ -81,6 +83,11 @@ def main() -> int:
     ap.add_argument("--port", type=int, default=9731)
     ap.add_argument("--paths-per-chip", type=int, default=1024)
     ap.add_argument("--N", type=int, default=50)
+    ap.add_argument("--method", choices=["fe", "em"], default="fe")
+    ap.add_argument("--engine", choices=["scan", "pallas", "qmc"],
+                    default="scan")
+    ap.add_argument("--conditional", action="store_true",
+                    help="EM: closed-form conditional payoff")
     ap.add_argument("--process-id", type=int, default=None,
                     help="(internal) set by the CPU-mode launcher")
     args = ap.parse_args()
@@ -94,7 +101,12 @@ def main() -> int:
                               f"--local-devices={args.local_devices}",
                               f"--port={args.port}",
                               f"--paths-per-chip={args.paths_per_chip}",
-                              f"--N={args.N}", f"--process-id={i}"])
+                              f"--N={args.N}",
+                              f"--method={args.method}",
+                              f"--engine={args.engine}",
+                              *(["--conditional"] if args.conditional
+                                else []),
+                              f"--process-id={i}"])
             for i in range(args.processes)]
         rc = max(p.wait() for p in procs)
         return rc

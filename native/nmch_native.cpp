@@ -74,6 +74,18 @@ cplx heston_phi(cplx u, double T, double S0, double r, double k, double rho,
 // xoshiro128++ (Blackman & Vigna) — deliberately a different generator
 // family from the framework's Philox so the CPU validator is an
 // independent draw source.
+
+// splitmix64 finalizer: hashes a per-path seed so consecutive path
+// indices map to well-separated generator states (single-word MT
+// seeding of affine-sequential integers gives weak stream separation
+// — round-4 advisor finding).
+static inline uint64_t splitmix64_mix(uint64_t x) {
+    x += 0x9E3779B97F4A7C15ULL;
+    x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9ULL;
+    x = (x ^ (x >> 27)) * 0x94D049BB133111EBULL;
+    return x ^ (x >> 31);
+}
+
 struct Xoshiro128pp {
     uint32_t s[4];
     explicit Xoshiro128pp(uint64_t seed) {
@@ -230,7 +242,8 @@ void nmch_cpu_em_moments(double T, double S0, double v0, double r, double k,
     double sum = 0.0, sumsq = 0.0;
     std::normal_distribution<double> nd(0.0, 1.0);
     for (long long p = 0; p < n_paths; ++p) {
-        std::mt19937_64 gen(seed * 0x9E3779B97F4A7C15ULL + p + 1);
+        std::mt19937_64 gen(splitmix64_mix(
+            seed * 0x9E3779B97F4A7C15ULL + static_cast<uint64_t>(p) + 1));
         double v = v0, vI = 0.0;
         for (int i = 0; i < N; ++i) {
             const double lam = lam_const * v;

@@ -2,10 +2,12 @@
 
 The reference's ``heatmap.py`` reads the sweep CSV, pivots a value
 column over (k, theta) per sigma and per method, and renders seaborn
-heatmaps in sigma-groups (``heatmap.py:1-53``); ours does the same for
-any of the CSV's value columns (the sweep emits ``execution_time`` and
-``err``; the reference's offline CSVs had a ``bias`` column) and saves
-PNGs instead of blocking on plt.show().
+heatmaps in sigma-groups (``heatmap.py:1-53``); ours does the same
+pivot for any of the CSV's value columns (the sweep emits
+``execution_time`` and ``err``; the reference's offline CSVs had a
+``bias`` column) and saves PNGs instead of blocking on plt.show().
+Cosmetics (layout, colormap, titles) are our own — the parity target
+is the pivot/grouping, not the styling.
 
 Run: ``python -m nmch_tpu.analysis.heatmap sweep.csv --value err
 --outdir plots/``.
@@ -50,7 +52,7 @@ def plot_heatmaps(data, value: str = "err", outdir: str = ".",
                   for i in range(0, len(sigmas), group_size)]
         for gi, group in enumerate(groups):
             fig, axes = plt.subplots(
-                1, len(group), figsize=(5 * len(group), 8),
+                1, len(group), figsize=(4.6 * len(group), 7.2),
                 constrained_layout=True)
             if len(group) == 1:
                 axes = [axes]
@@ -58,14 +60,14 @@ def plot_heatmaps(data, value: str = "err", outdir: str = ".",
                 piv = md[md["sigma"] == sv].pivot_table(
                     index="k", columns="theta", values=value,
                     aggfunc="mean")
-                sns.heatmap(piv, annot=False, cmap="viridis",
+                sns.heatmap(piv, annot=False, cmap="cividis",
                             cbar_kws={"label": value}, ax=ax)
-                ax.set_title(f"Sigma = {sv:g}")
-                ax.set_xlabel("Theta")
-                ax.set_ylabel("K")
+                ax.set_title(f"sigma = {sv:g} (vol of vol)")
+                ax.set_xlabel("theta (long-run variance)")
+                ax.set_ylabel("kappa (mean reversion)")
             fig.suptitle(
-                f"Heatmaps of {value} (Method: {method.strip()}, "
-                f"Group {gi + 1})", fontsize=16)
+                f"{method.strip()} sweep — {value} over (kappa, theta) "
+                f"per sigma [panel set {gi + 1}]", fontsize=15)
             out = os.path.join(
                 outdir, f"{method.strip()}_{value}_group{gi + 1}.png")
             fig.savefig(out, dpi=120)

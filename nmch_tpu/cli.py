@@ -50,8 +50,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--method", choices=["fe", "em"], default="fe")
     # TPU-native extensions
     p.add_argument("--engine", choices=["pallas", "scan", "qmc"],
-               default="pallas",
-               help="qmc = scrambled-Sobol + Brownian bridge (FE only; error ~ n^-0.8)")
+               default=None,
+               help="default: pallas (scan for EM with --rng "
+                    "mrg32k3a/xorwow — EM's stateful families live in "
+                    "the scan engine); qmc = scrambled-Sobol + Brownian "
+                    "bridge (FE only; error ~ n^-0.8)")
     p.add_argument("--rng", choices=["philox", "threefry", "threefry4",
                                      "tpu", "mrg32k3a", "xorwow"],
                    default="philox",
@@ -104,6 +107,15 @@ def build_parser() -> argparse.ArgumentParser:
 def run(argv=None) -> int:
     parser = build_parser()
     args = parser.parse_args(argv)
+    if args.engine is None:
+        # resolve the default rather than downgrade: FE prices every
+        # family on the fused Pallas engine (the stateful pair via
+        # ops/fe_stateful_pallas.py, round 5); EM's stateful families
+        # need the scan engine (the rejection samplers' state carry
+        # has no fused kernel)
+        args.engine = ("scan" if (args.method == "em"
+                                  and args.rng in ("mrg32k3a", "xorwow"))
+                       else "pallas")
     if args.method == "em" and args.engine == "qmc":
         parser.error("--engine qmc is FE-only (the Sobol'/Brownian-"
                      "bridge construction has no EM analogue)")
@@ -131,11 +143,15 @@ def run(argv=None) -> int:
             print("note: --poisson-cut is EM-only; ignoring",
                   file=sys.stderr)
     else:
-        if args.rng in ("philox", "threefry4"):
+        if args.rng in ("philox", "threefry4", "mrg32k3a", "xorwow"):
+            # all four families priced for real (round 5 closed the
+            # silent philox downgrade for the stateful pair — the
+            # reference prices EM with XORWOW, exploration.cu:54-55)
             kwargs["rng"] = args.rng
         else:
-            print("note: EM supports --rng philox/threefry4 only; "
-                  "ignoring --rng", file=sys.stderr)
+            parser.error(f"--method em does not support --rng "
+                         f"{args.rng} (choose philox/threefry4/"
+                         f"mrg32k3a/xorwow)")
         if args.antithetic or args.rot:
             print("note: --antithetic/--rot are FE-only; ignoring",
                   file=sys.stderr)
@@ -167,7 +183,10 @@ def run(argv=None) -> int:
             "method": args.method, "engine": args.engine,
             "n_paths": cfg.n_paths, "N": cfg.N, "seed": args.seed,
             "price": res.price, "price_squared": res.price_squared,
-            "err": res.err, "ci_error": res.ci_error,
+            # strict-JSON safe: the qmc engine's synthesized moments
+            # make the reference err formula meaningless -> null
+            "err": (None if res.synthesized_moments else res.err),
+            "ci_error": res.ci_error,
             "exec_time_ms": res.exec_time_ms,
             "init_time_ms": m.init_time_ms,
         }

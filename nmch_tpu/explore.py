@@ -175,10 +175,11 @@ def run(argv=None) -> int:
                                      "mrg32k3a"],
                    default="philox",
                    help="counter generator (threefry4 is ~2x faster "
-                        "for EM); xorwow/mrg32k3a (loop mode, FE, "
-                        "--engine scan) sweep with the reference's "
-                        "stateful families — exploration.cu:24-25 "
-                        "defaults to XORWOW")
+                        "for EM); xorwow/mrg32k3a (loop mode, "
+                        "--engine scan) sweep FE *and* EM with the "
+                        "reference's stateful families — "
+                        "exploration.cu:24-25,54-55 defaults to XORWOW "
+                        "for both methods")
     p.add_argument("--conditional", action="store_true",
                    help="batched EM: closed-form conditional payoff "
                         "(CI ~1.9x smaller at the same cost)")
@@ -211,9 +212,11 @@ def run(argv=None) -> int:
         if args.batched:
             p.error(f"--rng {args.rng} needs loop mode (the batched "
                     f"points-in-lanes kernels use counter streams)")
-        if args.engine != "scan":
-            p.error(f"--rng {args.rng} needs --engine scan (stateful "
-                    f"recurrence in the scan carry)")
+        if args.engine != "scan" and "em" in methods:
+            p.error(f"--rng {args.rng} with EM needs --engine scan "
+                    f"(the rejection samplers' state carry has no "
+                    f"fused kernel; FE-only sweeps may use pallas — "
+                    f"ops/fe_stateful_pallas.py)")
     out = open(args.out, "w") if args.out else sys.stdout
     try:
         print("method, k, theta, sigma, execution_time, err", file=out,
@@ -228,12 +231,12 @@ def run(argv=None) -> int:
                 m = NMCH_FE(cfg, params, engine=args.engine,
                             rng=args.rng)
             else:
-                # EM's rejection samplers need lane-local counters
-                em_rng = (args.rng if args.rng in ("philox",
-                                                   "threefry4")
-                          else "philox")
+                # all four families honored (round 5): the stateful
+                # pair already forced --engine scan above, matching
+                # the reference's EM-with-XORWOW sweep
+                # (exploration.cu:54-55)
                 m = NMCH_EM(cfg, params, engine=args.engine,
-                            rng=em_rng)
+                            rng=args.rng)
             m.init(args.seed)
             sweep(m, name, out, timed_reps=args.timed_reps)
             m.finalize()

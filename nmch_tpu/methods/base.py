@@ -145,6 +145,13 @@ class NMCH(abc.ABC):
         print(f"The estimated E[X^2] is equal to {r.price_squared:f}")
         # parity line: the reference's BS-with-vol-of-vol "true price"
         print(f"The true price {reference_true_price(p.S_0, self.K, p.r, p.sigma):f}")
-        print(f"error associated to a confidence interval of 95% = {r.err:f}")
+        if r.synthesized_moments:
+            # the reference err formula has no meaning for synthesized
+            # (QMC replicate-CI) moments; the honest number follows
+            print("error associated to a confidence interval of 95% = "
+                  f"n/a (RQMC replicate CI: {r.ci_error:e})")
+        else:
+            print("error associated to a confidence interval of 95% = "
+                  f"{r.err:f}")
         print(f"Execution time {r.exec_time_ms:f} ms")
         print(f"Initialization time {self.init_time_ms:f} ms")

@@ -22,7 +22,9 @@ from ..utils.backend import on_tpu
 from .base import NMCH
 
 # module-level jit wrapper — one trace cache across all compute() calls
-_em_scan_jit = jax.jit(em_moments_scan, static_argnums=(1, 6, 7, 8))
+# (seed is static: the stateful families resolve it host-side into the
+# skip-ahead base state; None for the counter families)
+_em_scan_jit = jax.jit(em_moments_scan, static_argnums=(1, 6, 7, 8, 9))
 
 
 class NMCH_EM(NMCH):
@@ -53,10 +55,23 @@ class NMCH_EM(NMCH):
         super().__init__(cfg, params)
         if engine not in ("pallas", "scan"):
             raise ValueError(f"unknown engine {engine!r}")
-        if rng not in ("philox", "threefry4"):
-            raise ValueError("NMCH_EM supports rng='philox' or 'threefry4' "
-                             "(the rejection samplers need a lane-local "
-                             "counter-based generator)")
+        if rng not in ("philox", "threefry4", "mrg32k3a", "xorwow"):
+            raise ValueError(f"unknown rng {rng!r} (NMCH_EM supports "
+                             "philox/threefry4/mrg32k3a/xorwow)")
+        if rng in ("mrg32k3a", "xorwow"):
+            # stateful recurrences carried through the sampler rounds
+            # (round 5 — the reference prices EM with XORWOW,
+            # exploration.cu:54-55); scan engine hosts the state carry,
+            # the Pallas kernels keep the counter-based ladder
+            if engine != "scan":
+                raise ValueError(f"rng={rng!r} requires engine='scan'")
+            if cfg.n_paths >= (1 << 31):
+                # jump tables cover path-index bits 0..30 (exponents
+                # 67..97); larger indices would alias onto lower streams
+                raise ValueError(
+                    f"rng={rng!r} supports n_paths < 2^31 (stream "
+                    f"layout, rng/mrg32k3a.py docstring); got "
+                    f"{cfg.n_paths}")
         self.engine = engine
         self.rng = rng
         self.conditional = conditional
@@ -84,8 +99,19 @@ class NMCH_EM(NMCH):
                 conditional=self.conditional,
                 poisson_cut=self.poisson_cut)
         pidx = path_index_grid(self.cfg.n_paths)
+        seed = None
+        if self.rng in ("mrg32k3a", "xorwow"):
+            from ..rng.streams import stateful_max_epoch
+            bound = stateful_max_epoch(self.rng)
+            if int(epoch) >= bound:
+                raise ValueError(
+                    f"epoch={int(epoch)} exceeds the {self.rng} stream "
+                    f"layout's {bound} epochs per path block "
+                    f"(rng/{self.rng}.py docstring)")
+            seed = self.streams.seed
         return _em_scan_jit(pv, self.cfg.N, pidx, jnp.uint32(epoch), k0, k1,
-                            self.rng, self.conditional, self.poisson_cut)
+                            self.rng, self.conditional, self.poisson_cut,
+                            seed)
 
     def greeks(self, fix_strike: bool = False,
                fd: bool = False) -> dict:
@@ -100,6 +126,9 @@ class NMCH_EM(NMCH):
         differentiation.  Consumes one epoch (two with fd=True)."""
         if self.streams is None:
             raise RuntimeError("call init(seed) before greeks()")
+        if self.rng not in ("philox", "threefry4"):
+            raise ValueError("greeks() needs a counter rng "
+                             "(philox/threefry4)")
         from ..ops.em_greeks import em_price_and_greeks, em_greeks_fd
         k0, k1 = self.streams.key_words
         price, grads = em_price_and_greeks(

@@ -19,14 +19,23 @@ and *rng* backends:
                                 bitstream in both engines;
     rng="tpu"                 — hardware PRNG, fastest (pallas only);
     rng="mrg32k3a"            — L'Ecuyer combined MRG with matrix
-                                skip-ahead (scan only) — the
-                                reference's third curand family
-                                (random.cu:12-13, rng/mrg32k3a.py);
+                                skip-ahead — the reference's third
+                                curand family (random.cu:12-13,
+                                rng/mrg32k3a.py);
     rng="xorwow"              — xorshift+Weyl with GF(2)^160 matrix
-                                skip-ahead (scan only) — the
-                                reference's *default* curand family
-                                (random.cu:6-8, rng/xorwow.py),
-                                completing the 3-generator ladder.
+                                skip-ahead — the reference's *default*
+                                curand family (random.cu:6-8,
+                                rng/xorwow.py), completing the
+                                3-generator ladder.
+
+    Since round 5 the stateful pair runs on BOTH engines: the scan
+    engine keeps the (seed, path, epoch) skip-ahead layout; the fused
+    Pallas fast engine (ops/fe_stateful_pallas.py) carries the 6-word
+    state in VMEM and continues streams by write-back — exactly the
+    reference's ``NMCH_FE_K3_MM<curandStateXORWOW_t>`` default
+    (NMCH_FE.hpp:139-140), so the family timing ladder
+    (profilings/timings.txt:31-34) is reproducible at speed
+    (benchmarks/ladder.py).
 
 The MM/PgM/PiM memory ladder is N/A on TPU (results live in device
 memory and stream back as two floats; there is no host-pinned/managed
@@ -133,11 +142,12 @@ class NMCH_FE(NMCH):
             raise ValueError("rng='tpu' requires engine='pallas' (the "
                              "golden scan engine is philox-only)")
         if rng in ("mrg32k3a", "xorwow"):
-            # stateful recurrences carried in the scan loop; the Pallas
-            # kernels keep the counter-based ladder (rng/mrg32k3a.py
-            # module docstring for the design rationale)
-            if engine != "scan":
-                raise ValueError(f"rng={rng!r} requires engine='scan'")
+            # stateful recurrences: scan engine carries the state in
+            # the loop; the Pallas fast engine carries it in VMEM with
+            # curand-parity write-back (ops/fe_stateful_pallas.py)
+            if engine not in ("scan", "pallas"):
+                raise ValueError(f"rng={rng!r} requires engine='scan' "
+                                 f"or 'pallas'")
             if rot not in (None, 1) or antithetic:
                 raise ValueError(f"rng={rng!r} has no rot/antithetic "
                                  "variants (parity family; use the "
@@ -166,6 +176,9 @@ class NMCH_FE(NMCH):
         if interpret is None:
             interpret = not on_tpu()
         self.interpret = interpret
+        # carried per-path recurrence states (pallas stateful engine)
+        self._state = None
+        self._state_epoch = 0
 
     # -- lifecycle --------------------------------------------------------
     def init(self, seed: int | None = None) -> None:
@@ -180,10 +193,16 @@ class NMCH_FE(NMCH):
         with Timer() as t:
             self.streams = PathStreams(seed=seed, n_paths=self.cfg.n_paths)
         self.init_time_ms = t.ms
+        # stateful fast engine: drop any carried per-path states (a new
+        # seed restarts the streams; they rebuild lazily in _moments)
+        self._state = None
+        self._state_epoch = 0
 
     def _moments(self, epoch: int):
         pv = self.params.as_array()
         k0, k1 = self.streams.key_words
+        if self.engine == "pallas" and self.rng in ("mrg32k3a", "xorwow"):
+            return self._stateful_pallas_moments(pv, epoch)
         if self.engine == "qmc":
             # the fused streaming simulator when on real TPU and the
             # replicate size tiles into 1024-path blocks
@@ -204,6 +223,33 @@ class NMCH_FE(NMCH):
         if self.rng in ("mrg32k3a", "xorwow"):
             return _stateful_jit(self.rng, pv, self.cfg.N, pidx,
                                  jnp.uint32(epoch), self.streams.seed)
+        return self._scan_moments(pv, epoch, k0, k1, pidx)
+
+    def _stateful_pallas_moments(self, pv, epoch: int):
+        """Fast-engine pricing on carried per-path recurrence states
+        (curand write-back parity).  The state is rebuilt from
+        (seed, epoch) whenever it is absent or out of step — which
+        makes checkpoint resume work unchanged: load_state restores
+        (seed, epoch) and the next compute() re-derives the state by
+        one skip-ahead + one dense F^(epoch*D) jump."""
+        from ..ops.fe_stateful_pallas import (
+            fe_stateful_state, fe_moments_stateful_pallas, advance_state,
+            draws_per_compute)
+        if self._state is None or self._state_epoch != epoch:
+            st = fe_stateful_state(self.rng, self.streams.seed,
+                                   self.cfg.n_paths, 0)
+            if epoch:
+                st = advance_state(self.rng, st,
+                                   epoch * draws_per_compute(self.cfg.N))
+            self._state = st
+        m, m2, st_new = fe_moments_stateful_pallas(
+            pv, self._state, N=self.cfg.N, n_paths=self.cfg.n_paths,
+            rng=self.rng, interpret=self.interpret)
+        self._state = st_new
+        self._state_epoch = epoch + 1
+        return m, m2
+
+    def _scan_moments(self, pv, epoch: int, k0, k1, pidx):
         if self.rot > 1:
             return _scan_rot_jit(pv, self.cfg.N, pidx, jnp.uint32(epoch),
                                  k0, k1, self.rng, self.rot)
@@ -249,5 +295,6 @@ class NMCH_FE(NMCH):
         self.result = SimResult(price=m, price_squared=m2,
                                 n_paths=self.cfg.n_paths,
                                 exec_time_ms=t.ms,
-                                init_time_ms=self.init_time_ms)
+                                init_time_ms=self.init_time_ms,
+                                synthesized_moments=(self.engine == "qmc"))
         return self.result

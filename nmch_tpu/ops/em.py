@@ -39,13 +39,15 @@ from ..rng.philox import philox4x32
 from ..rng.normal import boxmuller, uniform_open01
 from .sampling import (
     poisson_from_stream, gamma_ms_from_stream, anchored_zeros,
-    make_lane_draw4,
+    make_lane_draw4, make_stream_draw4, stream_state_init,
+    STATEFUL_RNGS,
 )
 from .fe import path_index_grid  # re-exported layout helper
 
 
 def em_path_law(params_vec, N: int, path_lo, path_hi, epoch, k0, k1,
-                rng: str = "philox", poisson_cut: float | None = None):
+                rng: str = "philox", poisson_cut: float | None = None,
+                seed: int | None = None):
     """Simulate the exact variance path; returns (m, sig_eff, v_T, vI,
     final_ctr) — the conditional law of ln S_T given the variance path:
     ln S_T ~ N(m, sig_eff^2)  (reference ``NMCH_EM.cu:116-124``).
@@ -67,6 +69,15 @@ def em_path_law(params_vec, N: int, path_lo, path_hi, epoch, k0, k1,
     price shift at cut=128 is below the 95% CI at 2^20 paths
     (tests/test_em.py::test_em_poisson_cut_price_parity, and the TPU
     measurement in benchmarks/RESULTS.md).
+
+    rng: the counter families "philox"/"threefry4" draw at lane-local
+    counters keyed by (k0, k1); the STATEFUL families
+    "mrg32k3a"/"xorwow" (round 5 — the reference prices EM with
+    XORWOW, ``src/NMCH/test/exploration.cu:54-55``, and templates its
+    EM kernels over all three curand states, ``random.cu:6-16``)
+    carry the recurrence state through the step loop, initialized by
+    matrix skip-ahead at (seed, path, epoch); ``seed`` (python int,
+    static) is required for them and ignored otherwise.
     """
     T, S_0, v_0, r, k, rho, theta, sigma = (params_vec[i] for i in range(8))
     dt = T / jnp.float32(N)
@@ -83,7 +94,13 @@ def em_path_law(params_vec, N: int, path_lo, path_hi, epoch, k0, k1,
     znr, fznr = anchored_zeros(path_lo)
     v0 = fznr + v_0
     vI0 = fznr
-    ctr0 = znr
+    if rng in STATEFUL_RNGS:
+        if seed is None:
+            raise ValueError(f"rng={rng!r} needs the integer seed "
+                             "(stateful stream init)")
+        ctr0 = stream_state_init(rng, seed, path_lo, ep)
+    else:
+        ctr0 = znr
     d_arr = fznr + d
     # broadcast loop constants over the path layout so fori carries and
     # sampler shapes stay uniform when params are (1, 128) columns
@@ -112,16 +129,17 @@ def em_path_law(params_vec, N: int, path_lo, path_hi, epoch, k0, k1,
 
 
 def em_terminal_core(params_vec, N: int, path_lo, path_hi, epoch, k0, k1,
-                     rng: str = "philox", poisson_cut: float | None = None):
+                     rng: str = "philox", poisson_cut: float | None = None,
+                     seed: int | None = None):
     """Simulate the exact scheme; returns (S_T, v_T, vI, final_ctr)."""
     m, sig_eff, Vt, vI, ctr = em_path_law(params_vec, N, path_lo, path_hi,
                                           epoch, k0, k1, rng=rng,
-                                          poisson_cut=poisson_cut)
+                                          poisson_cut=poisson_cut, seed=seed)
     # terminal draw (one more block per path)
     ep = jnp.asarray(epoch, dtype=jnp.uint32)
-    w0, w1, _, _ = make_lane_draw4(rng)(ctr, ep, path_lo, path_hi, k0, k1)
+    w0, w1, _, _, ctr = make_stream_draw4(rng, ep, path_lo, path_hi,
+                                          k0, k1)(ctr)
     g, _ = boxmuller(uniform_open01(w0), uniform_open01(w1))
-    ctr = ctr + jnp.uint32(1)
     S_T = jnp.exp(m + sig_eff * g)
     return S_T, Vt, vI, ctr
 
@@ -165,34 +183,39 @@ def em_conditional_payoff(m, sig_eff, K):
 
 
 def em_terminal(params_vec, N: int, path_idx, epoch, k0, k1,
-                rng: str = "philox", poisson_cut: float | None = None):
+                rng: str = "philox", poisson_cut: float | None = None,
+                seed: int | None = None):
     """Golden engine entry: (S_T, v_T) for (R, 128) path indices."""
     path_lo = path_idx.astype(jnp.uint32)
     path_hi = jnp.zeros_like(path_lo)
     S_T, v_T, _, _ = em_terminal_core(params_vec, N, path_lo, path_hi,
                                       epoch, k0, k1, rng=rng,
-                                      poisson_cut=poisson_cut)
+                                      poisson_cut=poisson_cut, seed=seed)
     return S_T, v_T
 
 
 def em_moments_scan(params_vec, N: int, path_idx, epoch, k0, k1,
                     rng: str = "philox", conditional: bool = False,
-                    poisson_cut: float | None = None):
+                    poisson_cut: float | None = None,
+                    seed: int | None = None):
     """Golden engine: (E[X], E[X^2]) with X = (S_T - K)^+, K = S_0.
 
     conditional=True: X = E[(S_T - K)^+ | variance path] (conditional
     Monte Carlo, em_conditional_payoff) — same mean, strictly smaller
-    variance, one fewer draw per path."""
+    variance, one fewer draw per path.
+
+    seed: required (python int, static) when rng is a stateful family
+    ("mrg32k3a"/"xorwow"); ignored for the counter families."""
     K = params_vec[1]
     if conditional:
         path_lo = path_idx.astype(jnp.uint32)
         m, sig_eff, _, _, _ = em_path_law(
             params_vec, N, path_lo, jnp.zeros_like(path_lo), epoch, k0, k1,
-            rng=rng, poisson_cut=poisson_cut)
+            rng=rng, poisson_cut=poisson_cut, seed=seed)
         payoff = em_conditional_payoff(m, sig_eff, K)
     else:
         S_T, _ = em_terminal(params_vec, N, path_idx, epoch, k0, k1,
-                             rng=rng, poisson_cut=poisson_cut)
+                             rng=rng, poisson_cut=poisson_cut, seed=seed)
         payoff = jnp.maximum(S_T - K, 0.0)
     n = jnp.float32(payoff.size)
     return jnp.sum(payoff) / n, jnp.sum(payoff * payoff) / n

@@ -140,6 +140,88 @@ def make_lane_draw4(rng: str):
                      f"'threefry4')")
 
 
+STATEFUL_RNGS = ("mrg32k3a", "xorwow")
+
+
+def _sel(pred, new, old):
+    """Per-lane select over a stream state (u32 array or tuple of)."""
+    if isinstance(new, tuple):
+        return tuple(jnp.where(pred, n, o) for n, o in zip(new, old))
+    return jnp.where(pred, new, old)
+
+
+def make_stream_draw4(rng: str, epoch, path_lo, path_hi, k0, k1):
+    """Uniform draw protocol over all four RNG families:
+    ``draw4s(st) -> (w0, w1, w2, w3, st_next)``.
+
+    Counter families (philox/threefry4): st is the lane's u32 block
+    counter; the words are a pure function of (st, epoch, path, key)
+    and st_next = st + 1 — bitwise identical to the historical
+    ``make_lane_draw4`` + ``ctr + 1`` pairing, so golden==kernel
+    parity is untouched.
+
+    Stateful families (mrg32k3a/xorwow): st is the flat tuple of
+    recurrence state words (6 u32 arrays either way) and the four
+    words come from four sequential recurrence steps — exactly
+    curand's per-thread consumption order (``NMCH_EM.cu:96-124``
+    draws sequentially from one ``curandState`` per thread).  The
+    samplers below commit st_next only for lanes still active, so a
+    lane's draw sequence stays a pure function of its own stream
+    regardless of tile shape.  MRG32k3a's z in [0, m1) is consumed
+    directly as the u32 word: m1 = 2^32 - 209, so the top-23-bit
+    uniformization in rng/normal.py sees a defect of 209/2^32 ~ 5e-8
+    — far below any sampler tolerance (and curand's own
+    curand_uniform(mrg) uses z directly the same way).
+    """
+    if rng in ("philox", "threefry4"):
+        draw4 = make_lane_draw4(rng)
+
+        def draw4s(st):
+            w0, w1, w2, w3 = draw4(st, epoch, path_lo, path_hi, k0, k1)
+            return w0, w1, w2, w3, st + jnp.uint32(1)
+        return draw4s
+    if rng == "mrg32k3a":
+        from ..rng.mrg32k3a import mrg_step
+
+        def draw4s(st):
+            s1, s2 = st[:3], st[3:]
+            ws = []
+            for _ in range(4):
+                z, s1, s2 = mrg_step(s1, s2)
+                ws.append(z)
+            return (*ws, s1 + s2)
+        return draw4s
+    if rng == "xorwow":
+        from ..rng.xorwow import xorwow_step
+
+        def draw4s(st):
+            s, d = st[:5], st[5]
+            ws = []
+            for _ in range(4):
+                o, s, d = xorwow_step(s, d)
+                ws.append(o)
+            return (*ws, s + (d,))
+        return draw4s
+    raise ValueError(f"unknown lane rng {rng!r}")
+
+
+def stream_state_init(rng: str, seed: int, path_lo, epoch):
+    """Initial stream state for a STATEFUL family at (seed, path,
+    epoch) — the flat tuple ``make_stream_draw4`` advances.  One
+    matrix skip-ahead per path per epoch (init-time only; the
+    reference pays the analogous one-off in its 7 ms curand-init
+    kernel, profilings/FE_B_MMng:19)."""
+    if rng == "mrg32k3a":
+        from ..rng.mrg32k3a import mrg_state_at
+        s1, s2 = mrg_state_at(seed, path_lo, epoch)
+        return s1 + s2
+    if rng == "xorwow":
+        from ..rng.xorwow import xorwow_state_at
+        s, d = xorwow_state_at(seed, path_lo, epoch)
+        return s + (d,)
+    raise ValueError(f"{rng!r} is not a stateful family")
+
+
 # regime thresholds (mirrors curand's published algorithm switching)
 _POISSON_SMALL = 10.0
 _POISSON_LARGE = 4000.0
@@ -150,8 +232,10 @@ def poisson_from_stream(lam, ctr, epoch, path_lo, path_hi, k0, k1,
                         large_cut: float | None = None):
     """Sample N_p ~ Poisson(lam) per lane; returns (N_p_f32, new_ctr).
 
-    lam, ctr: equally-shaped f32/u32 arrays.  Each active lane consumes
-    one Philox block per round from its own stream.
+    lam, ctr: equally-shaped f32/u32 arrays for the counter families;
+    for rng in STATEFUL_RNGS, ctr is the flat state tuple from
+    ``stream_state_init``.  Each active lane consumes one 4-word block
+    per round from its own stream.
 
     large_cut: lambda above which the continuity-corrected normal
     approximation replaces PTRS (default _POISSON_LARGE = 4000, the
@@ -163,7 +247,7 @@ def poisson_from_stream(lam, ctr, epoch, path_lo, path_hi, k0, k1,
     price noise — see ops/em.py) pass a smaller cut.
     """
     lam = lam.astype(jnp.float32)
-    draw4 = make_lane_draw4(rng)
+    draw4s = make_stream_draw4(rng, epoch, path_lo, path_hi, k0, k1)
     znr, fznr = anchored_zeros(path_lo)
     cut = _POISSON_LARGE if large_cut is None else float(large_cut)
     small = lam < np.float32(_POISSON_SMALL)
@@ -184,7 +268,7 @@ def poisson_from_stream(lam, ctr, epoch, path_lo, path_hi, k0, k1,
     def body(st):
         actu, result, t, cnt, c, rnd = st
         active = actu > np.uint32(0)
-        w0, w1, w2, w3 = draw4(c, epoch, path_lo, path_hi, k0, k1)
+        w0, w1, w2, w3, c_next = draw4s(c)
 
         # --- large lambda: one normal-approximation draw
         g, _ = boxmuller(uniform_open01(w0), uniform_open01(w1))
@@ -225,7 +309,7 @@ def poisson_from_stream(lam, ctr, epoch, path_lo, path_hi, k0, k1,
 
         newly = jnp.logical_and(active, done)
         result = jnp.where(newly, kd, result)
-        c = jnp.where(active, c + np.uint32(1), c)
+        c = _sel(active, c_next, c)
         keep = jnp.logical_and(active, jnp.logical_not(done))
         actu = jnp.where(keep, np.uint32(1), np.uint32(0))
         return (actu, result, tt, cc2, c, rnd + 1)
@@ -249,7 +333,7 @@ def gamma_ms_from_stream(alpha0, ctr, epoch, path_lo, path_hi, k0, k1,
     pre-loop hoist (NMCH_EM.cu:29-38).
     """
     alpha0 = alpha0.astype(jnp.float32)
-    draw4 = make_lane_draw4(rng)
+    draw4s = make_stream_draw4(rng, epoch, path_lo, path_hi, k0, k1)
     znr, fznr = anchored_zeros(path_lo)
     need_boost = alpha0 < np.float32(1.0)
     alpha = alpha0 + jnp.where(need_boost, np.float32(1.0), np.float32(0.0))
@@ -263,7 +347,7 @@ def gamma_ms_from_stream(alpha0, ctr, epoch, path_lo, path_hi, k0, k1,
     def body(st):
         actu, result, C, c, rnd = st
         active = actu > np.uint32(0)
-        w0, w1, w2, w3 = draw4(c, epoch, path_lo, path_hi, k0, k1)
+        w0, w1, w2, w3, c_next = draw4s(c)
         x, _ = boxmuller(uniform_open01(w0), uniform_open01(w1))
         v1 = np.float32(1.0) + cmul * x
         v = v1 * v1 * v1
@@ -286,7 +370,7 @@ def gamma_ms_from_stream(alpha0, ctr, epoch, path_lo, path_hi, k0, k1,
 
         newly = jnp.logical_and(active, ok)
         result = jnp.where(newly, d * v * C, result)
-        c = jnp.where(active, c + np.uint32(1), c)
+        c = _sel(active, c_next, c)
         keep = jnp.logical_and(active, jnp.logical_not(ok))
         actu = jnp.where(keep, np.uint32(1), np.uint32(0))
         return (actu, result, C, c, rnd + 1)

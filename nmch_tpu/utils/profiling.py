@@ -81,12 +81,41 @@ def variant_ladder(n_paths: int = 1 << 18, N: int = 1000, seed: int = 1234,
             ("fe", "pallas", "threefry", lambda e: fe_moments_pallas(
                 pv, sw, jnp.uint32(e), jnp.uint32(0), N=N, n_paths=n_paths,
                 rng="threefry", interpret=interpret)),
+            ("fe", "pallas", "threefry4", lambda e: fe_moments_pallas(
+                pv, sw, jnp.uint32(e), jnp.uint32(0), N=N, n_paths=n_paths,
+                rng="threefry4", interpret=interpret)),
             ("fe", "pallas", "philox", lambda e: fe_moments_pallas(
                 pv, sw, jnp.uint32(e), jnp.uint32(0), N=N, n_paths=n_paths,
                 rng="philox", interpret=interpret)),
             ("fe", "scan", "philox", lambda e: jax.jit(
                 fe_moments_scan, static_argnums=1)(pv, N, pidx,
                                                    jnp.uint32(e), k0, k1)),
+        ]
+
+        # the stateful curand families on their fused fast engine
+        # (round 5, ops/fe_stateful_pallas.py) — the rows that mirror
+        # the reference's OWN fastest ladder entries (XORWOW is its
+        # default: timings.txt:31-34).  State init (the curand-init
+        # analogue) happens once, outside the timed region, exactly as
+        # the reference times it (profilings/FE_B_MMng:19 reports init
+        # separately); each rep continues the streams by write-back.
+        from ..ops.fe_stateful_pallas import (
+            fe_stateful_state, fe_moments_stateful_pallas)
+
+        def _make_stateful(srng):
+            holder = [fe_stateful_state(srng, seed, n_paths, 0)]
+
+            def fn(e):
+                m, m2, st = fe_moments_stateful_pallas(
+                    pv, holder[0], N=N, n_paths=n_paths, rng=srng,
+                    interpret=interpret)
+                holder[0] = st
+                return m, m2
+            return fn
+
+        variants += [
+            ("fe", "pallas", "xorwow", _make_stateful("xorwow")),
+            ("fe", "pallas", "mrg32k3a", _make_stateful("mrg32k3a")),
         ]
     if include_em:
         variants.append(("em", "pallas", "philox", lambda e:

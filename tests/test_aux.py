@@ -58,8 +58,10 @@ def test_variant_ladder_cpu():
     from nmch_tpu.utils.profiling import variant_ladder
     rows = variant_ladder(n_paths=1024, N=10, reps=1, include_em=False,
                           interpret=True)
-    # pallas-threefry + pallas-philox + scan-philox (no rng=tpu on CPU)
-    assert len(rows) == 3
+    # pallas-{threefry,threefry4,philox} + scan-philox + the stateful
+    # fast-engine pair pallas-{xorwow,mrg32k3a} (no rng=tpu on CPU)
+    assert len(rows) == 6
+    assert {r["rng"] for r in rows} >= {"threefry4", "xorwow", "mrg32k3a"}
     assert all(r["ms"] > 0 for r in rows)
 
 

@@ -224,3 +224,110 @@ def test_em_method_default_poisson_cut_is_fast():
     assert m.poisson_cut == 128.0
     m = NMCH_EM(SimConfig(), P, engine="scan", poisson_cut=4000.0)
     assert m.poisson_cut == 4000.0
+
+
+# ---------------------------------------------------------------------------
+# round 5: EM x the stateful curand families (the reference prices EM
+# with XORWOW — exploration.cu:54-55, random.cu:6-16 templates the EM
+# kernels over all three curand states)
+
+def _stateful_scan_moments(rng, n_paths, N, seed=1234, epoch=0,
+                           conditional=False):
+    k0, k1 = split_seed(seed)
+    fn = jax.jit(em_moments_scan, static_argnums=(1, 6, 7, 8, 9))
+    m, m2 = fn(P.as_array(), N, path_index_grid(n_paths),
+               jnp.uint32(epoch), k0, k1, rng, conditional, None, seed)
+    return float(m), float(m2)
+
+
+@pytest.mark.parametrize("rng", ["xorwow", "mrg32k3a"])
+def test_em_stateful_price_within_ci_of_oracle(rng):
+    """The exact scheme driven by the stateful recurrences must land on
+    the semi-analytic price (no discretization bias even at N=16)."""
+    n = 16384
+    m, m2 = _stateful_scan_moments(rng, n, 16)
+    res = SimResult(m, m2, n)
+    oracle = heston_call_undiscounted(P)
+    assert abs(res.price - oracle) < 3.5 * res.ci_error
+
+
+@pytest.mark.parametrize("rng", ["xorwow", "mrg32k3a"])
+def test_em_stateful_stream_contract(rng):
+    """(seed, path, epoch) streams: reproducible at the same triple,
+    distinct across epochs and seeds."""
+    a = _stateful_scan_moments(rng, 2048, 8, seed=7, epoch=0)
+    b = _stateful_scan_moments(rng, 2048, 8, seed=7, epoch=0)
+    c = _stateful_scan_moments(rng, 2048, 8, seed=7, epoch=1)
+    d = _stateful_scan_moments(rng, 2048, 8, seed=8, epoch=0)
+    assert a == b
+    assert a != c
+    assert a != d
+
+
+def test_em_stateful_conditional_shrinks_ci():
+    """Conditional MC composes with the stateful families too."""
+    n = 8192
+    m, m2 = _stateful_scan_moments("xorwow", n, 16)
+    plain = SimResult(m, m2, n)
+    m, m2 = _stateful_scan_moments("xorwow", n, 16, conditional=True)
+    cond = SimResult(m, m2, n)
+    assert cond.ci_error < plain.ci_error
+    oracle = heston_call_undiscounted(P)
+    assert abs(cond.price - oracle) < 3 * cond.ci_error + 2e-3
+
+
+@pytest.mark.parametrize("rng", ["xorwow", "mrg32k3a"])
+def test_em_stateful_method_api(rng):
+    m = NMCH_EM(SimConfig(NTPB=512, NB=4, N=16), P, engine="scan",
+                rng=rng)
+    m.init(7)
+    res = m.compute()
+    assert math.isfinite(res.price) and res.price > 0
+    # same stream contract as FE: epoch advances per compute()
+    res2 = m.compute()
+    assert res2.price != res.price
+
+
+@pytest.mark.parametrize("rng", ["xorwow", "mrg32k3a"])
+def test_em_stateful_validation(rng):
+    # Pallas kernels keep the counter ladder
+    with pytest.raises(ValueError, match="engine='scan'"):
+        NMCH_EM(SimConfig(), P, engine="pallas", rng=rng)
+    # path-index bits above 30 would alias onto lower streams
+    with pytest.raises(ValueError, match="2\\^31"):
+        NMCH_EM(SimConfig(NTPB=1 << 16, NB=1 << 15, N=8), P,
+                engine="scan", rng=rng)
+    # greeks need a counter rng
+    m = NMCH_EM(SimConfig(NTPB=128, NB=1, N=8), P, engine="scan", rng=rng)
+    m.init(3)
+    with pytest.raises(ValueError, match="counter rng"):
+        m.greeks()
+
+
+def test_em_stateful_epoch_bound_enforced():
+    """The per-family epoch bound guards the stateful stream layout
+    (epochs nest below curand's 2^67 subsequence spacing)."""
+    from nmch_tpu.rng.streams import stateful_max_epoch
+    m = NMCH_EM(SimConfig(NTPB=128, NB=1, N=4), P, engine="scan",
+                rng="xorwow")
+    m.init(3)
+    m.streams.epoch = stateful_max_epoch("xorwow")
+    with pytest.raises(ValueError, match="exceeds"):
+        m.compute()
+
+
+def test_em_stateful_matches_native_validator():
+    """Statistical cross-check against the independent C++ Broadie–Kaya
+    validator (native/nmch_native.cpp::nmch_cpu_em_moments): two fully
+    independent implementations of the exact scheme must price within
+    combined Monte Carlo error."""
+    from nmch_tpu import native
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    n = 16384
+    m, m2 = _stateful_scan_moments("xorwow", n, 16)
+    ours = SimResult(m, m2, n)
+    nm, nm2 = native.cpu_em_moments(P, N=100, n_paths=20000, seed=11)
+    theirs = SimResult(nm, nm2, 20000)
+    combined = math.hypot(ours.ci_error, theirs.ci_error)
+    assert abs(ours.price - theirs.price) < 3.5 * combined / 1.96

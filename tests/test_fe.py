@@ -391,3 +391,78 @@ def test_with_scale_normal_construction_matches_shared_form():
     assert np.median(rel) < 1e-5
     assert kstest(sc0 * np.asarray(g0), "norm").pvalue > 1e-3
     assert kstest(np.asarray(sc1) * np.asarray(g3), "norm").pvalue > 1e-3
+
+
+# ---------------------------------------------------------------------------
+# round 5: stateful-family fused Pallas engine (ops/fe_stateful_pallas.py)
+
+@pytest.mark.parametrize("srng", ["xorwow", "mrg32k3a"])
+def test_fe_stateful_pallas_bitwise_matches_scan(srng):
+    """Kernel and golden scan engine share the draw contract: from the
+    same initial states (epoch 0) the moments are bitwise identical."""
+    from nmch_tpu.ops.fe_stateful_pallas import (
+        fe_stateful_state, fe_moments_stateful_pallas)
+    n_paths, N, seed = 2048, 16, 99
+    st0 = fe_stateful_state(srng, seed, n_paths, 0)
+    m_k, m2_k, _ = fe_moments_stateful_pallas(
+        P.as_array(), st0, N=N, n_paths=n_paths, rng=srng, interpret=True)
+    if srng == "xorwow":
+        from nmch_tpu.ops.fe_xorwow import fe_moments_xorwow as golden
+    else:
+        from nmch_tpu.ops.fe_mrg import fe_moments_mrg as golden
+    m_g, m2_g = golden(P.as_array(), N, path_index_grid(n_paths),
+                       jnp.uint32(0), seed)
+    assert float(m_k) == float(m_g)
+    assert float(m2_k) == float(m2_g)
+
+
+@pytest.mark.parametrize("srng", ["xorwow", "mrg32k3a"])
+def test_fe_stateful_pallas_writeback_is_dense_jump(srng):
+    """The kernel's advanced states equal the exact F^D matrix jump of
+    the initial states (D = draws_per_compute(N)) — the property that
+    makes (seed, epoch) checkpoints resumable without a state dump."""
+    import numpy as np
+    from nmch_tpu.ops.fe_stateful_pallas import (
+        fe_stateful_state, fe_moments_stateful_pallas, advance_state,
+        draws_per_compute)
+    n_paths, N, seed = 1024, 9, 3    # odd N: masked tail still draws
+    st0 = fe_stateful_state(srng, seed, n_paths, 0)
+    _, _, st1 = fe_moments_stateful_pallas(
+        P.as_array(), st0, N=N, n_paths=n_paths, rng=srng, interpret=True)
+    st_jump = advance_state(srng, st0, draws_per_compute(N))
+    assert np.array_equal(np.asarray(st1), np.asarray(st_jump))
+
+
+def test_fe_stateful_pallas_method_continuation_and_resume(tmp_path):
+    """Method-level: sequential computes continue the streams
+    (write-back), and a (seed, epoch) checkpoint resumes bitwise."""
+    import os
+    from nmch_tpu.methods.fe import NMCH_FE
+    cfg = SimConfig(NTPB=256, NB=4, N=16, seed=5)
+    m = NMCH_FE(cfg, P, engine="pallas", rng="xorwow")
+    m.init(5)
+    r1 = m.compute()
+    r2 = m.compute()
+    assert r1.price != r2.price
+    # epoch-0 parity with the scan engine (same init state, same draws)
+    ms = NMCH_FE(cfg, P, engine="scan", rng="xorwow")
+    ms.init(5)
+    assert ms.compute().price == r1.price
+    # resume from checkpoint reproduces the sequential continuation
+    m2 = NMCH_FE(cfg, P, engine="pallas", rng="xorwow")
+    m2.init(5)
+    m2.compute()
+    ck = os.path.join(tmp_path, "ck.json")
+    m2.save_state(ck)
+    m3 = NMCH_FE(cfg, P, engine="pallas", rng="xorwow")
+    m3.load_state(ck)
+    assert m3.compute().price == r2.price
+
+
+def test_fe_stateful_pallas_validation():
+    from nmch_tpu.ops.fe_stateful_pallas import fe_moments_stateful_pallas
+    import jax.numpy as jnp
+    st = jnp.zeros((6, 8, 128), jnp.uint32)
+    with pytest.raises(ValueError, match="stateful"):
+        fe_moments_stateful_pallas(P.as_array(), st, N=8, n_paths=1024,
+                                   rng="philox", interpret=True)

@@ -142,8 +142,10 @@ def test_method_api_mrg():
     r2 = m.compute()           # epoch 1: fresh draws
     assert 0.05 < r1.price < 0.25
     assert r1.price != r2.price
+    # engine="pallas" is ALLOWED since round 5 (the stateful fused
+    # kernel, ops/fe_stateful_pallas.py); qmc and rot variants are not
     with pytest.raises(ValueError):
-        NMCH_FE(SimConfig(), P, engine="pallas", rng="mrg32k3a")
+        NMCH_FE(SimConfig(), P, engine="qmc", rng="mrg32k3a")
     with pytest.raises(ValueError):
         NMCH_FE(SimConfig(), P, engine="scan", rng="mrg32k3a", rot=4)
 

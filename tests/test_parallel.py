@@ -186,7 +186,10 @@ def test_sharded_stateful_family_matches_single(mesh8, rng):
 
 
 def test_sharded_stateful_family_rejects_bad_combos(mesh8):
-    for bad in ({"engine": "pallas"}, {"method": "em"}, {"rot": 4}):
+    # method="em" with engine="scan" is ALLOWED since round 5 (the
+    # samplers advance the carried state); pallas sharding of the
+    # stateful families and rot variants remain invalid
+    for bad in ({"engine": "pallas"}, {"rot": 4}):
         kw = dict(N=4, n_paths=1024, method="fe", engine="scan",
                   rng="mrg32k3a")
         kw.update(bad)

@@ -46,3 +46,31 @@ def test_simresult_accessors():
     assert r.strike_price == r.price
     assert r.std_error == pytest.approx(r.ci_error / 1.96)
     assert r.err > 0
+
+
+def test_synthesized_moments_err_is_nan():
+    """QMC results carry synthesized (replicate-CI) moments; the
+    reference-parity err formula has no meaning there and must
+    hard-fail to NaN instead of returning ~1.96|m|/sqrt(n)
+    (round-4 VERDICT weak #7).  ci_error stays the honest RQMC CI."""
+    import math
+    from nmch_tpu.results import SimResult
+    r = SimResult(0.12, 0.0145, 1 << 20, synthesized_moments=True)
+    assert math.isnan(r.err)
+    assert r.ci_error > 0
+    plain = SimResult(0.12, 0.0145, 1 << 20)
+    assert plain.err > 0
+
+
+def test_fe_qmc_result_flagged_synthesized():
+    import math
+    import jax
+    from nmch_tpu.params import HestonParams, SimConfig
+    from nmch_tpu.methods.fe import NMCH_FE
+    m = NMCH_FE(SimConfig(NTPB=128, NB=8, N=16), HestonParams(),
+                engine="qmc")
+    m.init(3)
+    res = m.compute()
+    assert res.synthesized_moments
+    assert math.isnan(res.err)
+    assert res.ci_error > 0
