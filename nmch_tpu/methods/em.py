@@ -114,7 +114,7 @@ class NMCH_EM(NMCH):
                             seed)
 
     def greeks(self, fix_strike: bool = False,
-               fd: bool = False) -> dict:
+               fd: bool = False, lrm: bool = False) -> dict:
         """EM sensitivities (round 4; capability beyond the CUDA
         reference).  Default: the exactly-pathwise subset — delta
         (dP/dS_0), dP/dr, dP/drho — by jax.grad through the
@@ -123,7 +123,16 @@ class NMCH_EM(NMCH):
         parameters; full analysis in ops/em_greeks.py).  fd=True adds
         central-difference CRN estimates for (T, v_0, k, theta,
         sigma), whose Poisson/Gamma rejection sampling breaks pathwise
-        differentiation.  Consumes one epoch (two with fd=True)."""
+        differentiation; lrm=True estimates the same five by the
+        score-function (likelihood-ratio) method instead —
+        derivative-free AND bump-free (ops/em_lrm.py; measured in
+        benchmarks/RESULTS.md: ~3x tighter than CRN-FD on (k, theta)
+        at every N, but the (T, sigma) score variance grows ~ N, so
+        CRN-FD stays the default).  Consumes one epoch (two with
+        fd/lrm)."""
+        if fd and lrm:
+            raise ValueError("pass fd=True or lrm=True, not both (they "
+                             "estimate the same five parameters)")
         if self.streams is None:
             raise RuntimeError("call init(seed) before greeks()")
         if self.rng not in ("philox", "threefry4"):
@@ -146,6 +155,16 @@ class NMCH_EM(NMCH):
                 poisson_cut=self.poisson_cut)
             out.update({k: float(v) for k, v in
                         jax.device_get(fdg).items()})
+        elif lrm:
+            from ..ops.em_lrm import em_greeks_lrm
+            # strict curand poisson switching (None -> 4000): the
+            # scored density must match the sampled law (em_lrm.py)
+            _, lg = em_greeks_lrm(
+                self.params.as_array(),
+                jnp.uint32(self.streams.next_epoch()), k0, k1,
+                N=self.cfg.N, n_paths=self.cfg.n_paths, rng=self.rng)
+            out.update({k: float(v) for k, v in
+                        jax.device_get(lg).items()})
         return out
 
     def compute(self) -> SimResult:

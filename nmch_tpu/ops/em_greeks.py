@@ -47,10 +47,13 @@ theta-sensitivity 0.137 +- 0.19 / 0.05 / 0.025 at rel_bump = 0.01 /
 Default rel_bump = 0.05: O(h^2) bias ~ 0.25% relative, noise
 ~ sqrt(2^14/n_paths) x 0.05 on theta at other sizes; average over
 epochs or raise n_paths for tighter estimates.  A score-function
-(LRM) estimator via the noncentral-chi-square transition density
-would remove the noise/bias trade entirely, at the cost of
-log-Bessel-I_nu evaluations per step; documented as out of scope —
-CRN-FD already delivers practitioner-grade sensitivities.
+(LRM) estimator is implemented in ops/em_lrm.py (round 5): it scores
+the JOINT (Poisson index, realized v') density — no log-Bessel
+needed, only digamma — removing the bump/bias trade entirely.
+Measured (benchmarks/RESULTS.md round 5): LRM is ~3x tighter on
+(k, theta) at every N, but its (T, sigma) score variance grows
+~ N * lam, so CRN-FD remains the shipping default;
+``NMCH_EM.greeks(lrm=True)`` selects the score estimator.
 
 The CUDA reference has no sensitivities of any kind.
 """

@@ -243,6 +243,7 @@ def xorwow_step(s, d):
 
 
 _TWO_NEG23 = np.float32(2.0 ** -23)
+_F23 = np.float32(2.0 ** 23)
 
 
 def u01_from_out(o):
@@ -251,6 +252,14 @@ def u01_from_out(o):
     Top 23 bits centered: ((o >> 9) + 0.5) * 2^-23.  A naive
     (o + 0.5) * 2^-32 is NOT open at 1: any o >= 2^32 - 128 rounds to
     2^32 in f32 (the ulp there is 256) and the product lands on
-    exactly 1.0 (round-4 review finding)."""
-    return ((o >> np.uint32(9)).astype(jnp.float32)
-            + np.float32(0.5)) * _TWO_NEG23
+    exactly 1.0 (round-4 review finding).
+
+    The integer->float conversion uses the exponent-bias bitcast
+    (0x4B000000 | x is the f32 encoding of 2^23 + x for x < 2^23;
+    subtracting 2^23 is exact) instead of an astype: Mosaic has no
+    u32->f32 convert lowering (round-5 lesson from putting this
+    function inside the stateful Pallas kernels), and the bitcast form
+    is bitwise-identical everywhere."""
+    xf = ((o >> np.uint32(9)) | np.uint32(0x4B000000)) \
+        .view(jnp.float32) - _F23
+    return (xf + np.float32(0.5)) * _TWO_NEG23

@@ -110,3 +110,72 @@ def test_em_method_api_greeks():
 def NMCH_EM_factory():
     from nmch_tpu.methods.em import NMCH_EM
     return NMCH_EM(SimConfig(NTPB=512, NB=8, N=16), P, engine="scan")
+
+
+# ---------------------------------------------------------------------------
+# round 5: score-function (LRM) estimator for the same five parameters
+# (ops/em_lrm.py — the research item em_greeks.py's round-4 docstring
+# left open)
+
+def test_digamma_accuracy():
+    from scipy.special import digamma as sp_digamma
+    from nmch_tpu.ops.em_lrm import digamma_vec
+    z = jnp.asarray(np.linspace(0.05, 100.0, 4001), jnp.float32)
+    got = np.asarray(digamma_vec(z))
+    want = sp_digamma(np.asarray(z, np.float64))
+    assert np.max(np.abs(got - want)) < 2e-6
+
+
+def test_em_lrm_matches_oracle_fd():
+    """LRM sensitivities must land on the semi-analytic oracle FD —
+    same bar as the CRN-FD ladder test above.  Coarse grid (N=16):
+    the regime where LRM's score variance is competitive (the
+    variance grows ~ N * lam, em_lrm.py module docstring), and where
+    the exact scheme makes coarse grids legitimate.  sigma is checked
+    loosely (largest d(log lam)/d(eta) -> noisiest score)."""
+    import dataclasses
+    from nmch_tpu.oracle import heston_call_undiscounted
+    from nmch_tpu.ops.em_lrm import em_greeks_lrm
+    vals = {p: [] for p in ("T", "v_0", "k", "theta", "sigma")}
+    for e in range(4):
+        _, g = em_greeks_lrm(P.as_array(), jnp.uint32(e), K0, K1,
+                             N=16, n_paths=N_PATHS)
+        for p in vals:
+            v = float(g[p])
+            assert np.isfinite(v), p
+            vals[p].append(v)
+    for p, got in vals.items():
+        x = getattr(P, p)
+        h = 1e-3 * max(abs(x), 0.05)
+        up = dataclasses.replace(P, **{p: x + h})
+        dn = dataclasses.replace(P, **{p: x - h})
+        want = (heston_call_undiscounted(up)
+                - heston_call_undiscounted(dn)) / (2 * h)
+        tol = 0.25 if p == "sigma" else 0.05
+        assert abs(np.mean(got) - want) < tol, (p, got, want)
+    assert np.mean(vals["theta"]) > 0.0
+    assert np.mean(vals["v_0"]) > 0.0
+
+
+def test_em_lrm_price_matches_conditional_estimator():
+    from nmch_tpu.ops.em_lrm import em_greeks_lrm
+    from nmch_tpu.ops.em import em_moments_scan
+    from nmch_tpu.ops.fe import path_index_grid
+    price, _ = em_greeks_lrm(P.as_array(), jnp.uint32(0), K0, K1,
+                             N=N, n_paths=N_PATHS)
+    m, _ = em_moments_scan(P.as_array(), N, path_index_grid(N_PATHS),
+                           jnp.uint32(0), K0, K1, conditional=True)
+    assert float(price) == pytest.approx(float(m), rel=1e-6)
+
+
+def test_em_method_api_lrm():
+    from nmch_tpu.methods.em import NMCH_EM
+    from nmch_tpu.params import SimConfig
+    m = NMCH_EM(SimConfig(NTPB=512, NB=4, N=16), P, engine="scan")
+    m.init(3)
+    out = m.greeks(lrm=True)
+    assert set(out) == {"price", "S_0", "r", "rho",
+                        "T", "v_0", "k", "theta", "sigma"}
+    assert all(np.isfinite(v) for v in out.values())
+    with pytest.raises(ValueError, match="not both"):
+        m.greeks(fd=True, lrm=True)

@@ -234,3 +234,53 @@ def test_em_sweep_kernel_on_hw():
                           rng="threefry4", conditional=True)
     for i in range(2):
         assert float(mp[i]) == pytest.approx(float(ms[i]), rel=1e-6), i
+
+
+@pytest.mark.parametrize("srng", ["xorwow", "mrg32k3a"])
+def test_fe_stateful_kernel_bitwise_on_hw(srng):
+    """Round 5: the fused stateful fast engine under real Mosaic
+    lowering.  Bitwise contract at the *integer* level: init states
+    and post-run write-back == exact dense jump (the checkpoint-resume
+    property).  Moments are held to the hw suite's rel=1e-6 bar, not
+    strict equality: golden engines reduce with an XLA tree sum while
+    the kernel uses the sequential-grid Kahan sum, and the two
+    rounding orders can land 1 f32 ulp apart (measured round 5: mrg at
+    8192x64 differs in m by exactly 1 ulp with m2 and every draw
+    bitwise-identical — probe: init states and single-step outputs
+    match bitwise in-kernel vs XLA on hardware)."""
+    _require_tpu()
+    import numpy as np
+    from nmch_tpu.ops.fe_stateful_pallas import (
+        fe_stateful_state, fe_moments_stateful_pallas, advance_state,
+        draws_per_compute)
+    n_paths, N, seed = 8192, 64, 99
+    st0 = fe_stateful_state(srng, seed, n_paths, 0)
+    m_k, m2_k, st1 = fe_moments_stateful_pallas(
+        P.as_array(), st0, N=N, n_paths=n_paths, rng=srng)
+    if srng == "xorwow":
+        from nmch_tpu.ops.fe_xorwow import fe_moments_xorwow as golden
+    else:
+        from nmch_tpu.ops.fe_mrg import fe_moments_mrg as golden
+    m_g, m2_g = jax.jit(golden, static_argnums=(1, 4))(
+        P.as_array(), N, path_index_grid(n_paths), jnp.uint32(0), seed)
+    vals = jax.device_get((m_k, m2_k, m_g, m2_g))
+    assert float(vals[0]) == pytest.approx(float(vals[2]), rel=1e-6)
+    assert float(vals[1]) == pytest.approx(float(vals[3]), rel=1e-6)
+    st_jump = advance_state(srng, st0, draws_per_compute(N))
+    a, b = jax.device_get((st1, st_jump))
+    assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_em_xorwow_prices_sanely_on_hw():
+    """Round 5: EM x the stateful default family on hardware (the
+    reference's exploration.cu:54-55 configuration class)."""
+    _require_tpu()
+    n_paths, N = 2048, 16
+    fn = jax.jit(em_moments_scan, static_argnums=(1, 6, 7, 8, 9))
+    m, m2 = jax.device_get(fn(
+        P.as_array(), N, path_index_grid(n_paths), jnp.uint32(0),
+        jnp.uint32(K0), jnp.uint32(K1), "xorwow", False, None, 7))
+    from nmch_tpu.oracle import heston_call_undiscounted
+    from nmch_tpu.results import SimResult
+    res = SimResult(float(m), float(m2), n_paths)
+    assert abs(res.price - heston_call_undiscounted(P)) < 4 * res.ci_error
