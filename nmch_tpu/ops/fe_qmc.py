@@ -184,18 +184,14 @@ def qmc_increments(N: int, n: int, epoch, k0, k1, T, v_np=None):
     return dws[0], dws[1]
 
 
-def qmc_increments_mxu(N: int, n: int, epoch, k0, k1, T, v_np=None,
-                       n_shifts: int = 1, scramble: str = "lms-shift",
-                       base=0, ndtri_mode: str = "fast"):
-    """(N, n_shifts*n) increment matrices (dW1, dW2): Sobol' points ->
-    inverse-CDF normals (bridge-ordered) -> ONE MXU matmul per factor
-    (bb_increment_matrix).  All n_shifts digitally-shifted replicates
-    ride the same matmul (replicate-major along the point axis;
-    replicate r's shift key is epoch*n_shifts + r).
-
-    base: first Sobol' point index (traced ok; multiple of the hilo
-    block, see rng/sobol.py) — the multi-chip sharding gives each chip
-    a disjoint index range of the SAME randomized point set."""
+def qmc_normals_mxu(N: int, n: int, epoch, k0, k1, v_np=None,
+                    n_shifts: int = 1, scramble: str = "lms-shift",
+                    base=0, ndtri_mode: str = "fast"):
+    """(z1, z2): the (N, n_shifts*n) bridge-ordered unit-normal
+    matrices of qmc_increments_mxu BEFORE the bridge matmul — split
+    out (round 5) so the fused simulate-from-normals kernel probe can
+    consume them directly; qmc_increments_mxu is unchanged in
+    behavior (it applies sqrt_dt * A @ z to these)."""
     v_np = direction_numbers(2 * N) if v_np is None else v_np
     V = jnp.asarray(v_np)
     if scramble == "lms-shift":
@@ -206,7 +202,6 @@ def qmc_increments_mxu(N: int, n: int, epoch, k0, k1, T, v_np=None,
         V = lms_scramble_directions(V, epoch, k0, k1)
     elif scramble not in ("shift", "owen"):
         raise ValueError(f"unknown scramble {scramble!r}")
-    A = jnp.asarray(bb_increment_matrix(N))
     ep0 = jnp.asarray(epoch, jnp.uint32) * np.uint32(n_shifts)
     reps = ep0 + jnp.arange(n_shifts, dtype=jnp.uint32)
     if scramble == "owen":
@@ -221,8 +216,7 @@ def qmc_increments_mxu(N: int, n: int, epoch, k0, k1, T, v_np=None,
         shifts = digital_shifts(
             jnp.arange(2 * N, dtype=jnp.uint32)[:, None], reps[None, :],
             k0, k1)                                              # (2N, R)
-    sqrt_dt = jnp.sqrt(T / jnp.float32(N))
-    dws = []
+    zs = []
     for f in (0, 1):
         dims = np.arange(N) * 2 + f
         # hi/lo-factored generation (one broadcast XOR per element
@@ -247,14 +241,33 @@ def qmc_increments_mxu(N: int, n: int, epoch, k0, k1, T, v_np=None,
         # weak #3).  ndtri(pm) <= 0 for pm <= 1/2, so |z| = -ndtri.
         pm, neg = pm_sign_from_words(xs.reshape(N, n_shifts * n))
         g = ndtri_fast_pm(pm) if ndtri_mode == "fast" else -ndtri(pm)
-        z = jnp.where(neg, -g, g)
-        # precision HIGH (3-pass bf16) keeps f32-grade increments at
-        # half the HIGHEST cost (measured 43 vs 78 ms at 2^19 x 1000;
-        # DEFAULT's ~0.4% relative noise would perturb the Brownian
-        # path by more than the QMC CI itself)
-        dws.append(sqrt_dt * jnp.dot(A, z,
-                                     precision=jax.lax.Precision.HIGH))
-    return dws[0], dws[1]
+        zs.append(jnp.where(neg, -g, g))
+    return zs[0], zs[1]
+
+
+def qmc_increments_mxu(N: int, n: int, epoch, k0, k1, T, v_np=None,
+                       n_shifts: int = 1, scramble: str = "lms-shift",
+                       base=0, ndtri_mode: str = "fast"):
+    """(N, n_shifts*n) increment matrices (dW1, dW2): Sobol' points ->
+    inverse-CDF normals (bridge-ordered, qmc_normals_mxu) -> ONE MXU
+    matmul per factor (bb_increment_matrix).  All n_shifts digitally-
+    shifted replicates ride the same matmul (replicate-major along the
+    point axis; replicate r's shift key is epoch*n_shifts + r).
+
+    base: first Sobol' point index (traced ok; multiple of the hilo
+    block, see rng/sobol.py) — the multi-chip sharding gives each chip
+    a disjoint index range of the SAME randomized point set."""
+    z1, z2 = qmc_normals_mxu(N, n, epoch, k0, k1, v_np=v_np,
+                             n_shifts=n_shifts, scramble=scramble,
+                             base=base, ndtri_mode=ndtri_mode)
+    A = jnp.asarray(bb_increment_matrix(N))
+    sqrt_dt = jnp.sqrt(T / jnp.float32(N))
+    # precision HIGH (3-pass bf16) keeps f32-grade increments at
+    # half the HIGHEST cost (measured 43 vs 78 ms at 2^19 x 1000;
+    # DEFAULT's ~0.4% relative noise would perturb the Brownian
+    # path by more than the QMC CI itself)
+    return (sqrt_dt * jnp.dot(A, z1, precision=jax.lax.Precision.HIGH),
+            sqrt_dt * jnp.dot(A, z2, precision=jax.lax.Precision.HIGH))
 
 
 def _dyadic_refine(z_f, T_total, levels: int):
