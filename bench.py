@@ -61,7 +61,12 @@ axon tunnel to recover — CLAUDE.md documents ~1-3 min), dependent
 keys degrade to absent instead of crashing, and the JSON line is
 ALWAYS printed — with an ``"error"`` key carrying whichever sections
 failed.  A totally dead backend still yields
-``{"metric": ..., "value": 0.0, ..., "error": [...]}``.
+``{"metric": ..., "value": 0.0, ..., "error": [...]}``.  And when the
+backend probe says no TPU (dev box, or a backend that failed init),
+the workload shrinks to an interpret-safe smoke config instead of
+grinding the full 2^19 x 10^4 shape through the Pallas interpreter
+for days (round-5 review) — the config string flags that case as not
+baseline-comparable.
 """
 
 from __future__ import annotations
@@ -135,10 +140,22 @@ def main() -> None:
     # the reference benches its fastest variant (K3).
     RNG = "tpu" if on_tpu else "philox"
     BOX = "hc16f" if on_tpu else "hc"
+    n_groups, n_steps = N_GROUPS, N_STEPS
+    qmc_paths, qmc_n = QMC_PATHS, QMC_N
+    if not on_tpu:
+        # CPU / failed-backend fallback: the full 2^19 x 10^4 config in
+        # Pallas interpret mode would grind for days, not crash — the
+        # driver would then get NO json at all in exactly the
+        # dead-backend scenario the _attempt machinery exists for
+        # (round-5 review).  Shrink to a smoke config: the line still
+        # lands promptly; vs_baseline is meaningless off-TPU and the
+        # config string says so.
+        n_groups, n_steps = 1 << 11, 100
+        qmc_paths, qmc_n = 1 << 13, 64
 
     def run(epoch, rot, rng=None, box=None):
         return fe_moments_pallas(pv, sw, jnp.uint32(epoch),
-                                 jnp.uint32(0), N=N_STEPS, n_paths=N_GROUPS,
+                                 jnp.uint32(0), N=n_steps, n_paths=n_groups,
                                  rng=rng or RNG, rot=rot, box=box or BOX,
                                  fast_sqrt=(on_tpu and rng is None),
                                  interpret=not on_tpu)
@@ -158,7 +175,7 @@ def main() -> None:
         # mixing the across-epoch spread of m into the within-run
         # variance biases the error-matched ratio — ADVICE r3)
         var = sum(float(v[1]) - float(v[0]) ** 2 for v in vals) / REPS
-        return rot * N_GROUPS * N_STEPS / dt, m, var
+        return rot * n_groups * n_steps / dt, m, var
 
     # --- FE sections (each independently guarded) ---------------------
     r4 = _attempt(lambda: timed(ROT), "fe_rot4", errors)
@@ -201,8 +218,8 @@ def main() -> None:
     # answer to): time-to-equal-CI multiple at 2^20 points x N=1000
     def qmc_section():
         def qmc_run(epoch):
-            return fe_moments_qmc(pv, jnp.uint32(epoch), k0, k1, N=QMC_N,
-                                  n_paths=QMC_PATHS, n_shifts=8,
+            return fe_moments_qmc(pv, jnp.uint32(epoch), k0, k1, N=qmc_n,
+                                  n_paths=qmc_paths, n_shifts=8,
                                   sim="pallas" if on_tpu else "scan",
                                   interpret=not on_tpu)
         jax.device_get(qmc_run(0))
@@ -212,14 +229,14 @@ def main() -> None:
         t_qmc = (time.perf_counter() - t0) / 3
         # geomean CI over the epochs: a single 8-replicate CI estimate
         # has 7 dof and swings ~2x (benchmarks/RESULTS.md round-3 note)
-        cis = [SimResult(float(v[0]), float(v[1]), QMC_PATHS).ci_error
+        cis = [SimResult(float(v[0]), float(v[1]), qmc_paths).ci_error
                for v in vals]
         ci = 1.0
         for c in cis:
             ci *= c
         ci **= 1.0 / len(cis)
-        t_ref = (REF_ERR_COEF / ci) ** 2 * QMC_N / BASELINE
-        return {"qmc_value": round(QMC_PATHS * QMC_N / t_qmc, 1),
+        t_ref = (REF_ERR_COEF / ci) ** 2 * qmc_n / BASELINE
+        return {"qmc_value": round(qmc_paths * qmc_n / t_qmc, 1),
                 "error_matched_value": round(t_ref / t_qmc, 1)}, ci
 
     qmc = _attempt(qmc_section, "qmc", errors)
@@ -258,10 +275,14 @@ def main() -> None:
         if scale_keys:
             out.update(scale_keys)
 
+    import math
     out["config"] = (
-        f"2^19 groups x rot={ROT} (2^21 simulated paths) x N=10^4, "
-        f"rng={RNG}/{BOX}, price={price:.6f}; qmc: 2^20 x "
-        f"N=10^3, CI={ci:.2e}")
+        f"2^{int(math.log2(n_groups))} groups x rot={ROT} "
+        f"(2^{int(math.log2(n_groups * ROT))} simulated paths) x "
+        f"N={n_steps}, rng={RNG}/{BOX}, price={price:.6f}; qmc: "
+        f"2^{int(math.log2(qmc_paths))} x N={qmc_n}, CI={ci:.2e}"
+        + ("" if on_tpu else
+           " [CPU-fallback smoke config — NOT comparable to baseline]"))
     emit()
 
 

@@ -157,7 +157,15 @@ def run(argv=None) -> int:
                   file=sys.stderr)
         kwargs["conditional"] = args.conditional
         kwargs["poisson_cut"] = args.poisson_cut
-    m = cls(cfg, params, **kwargs)
+    try:
+        m = cls(cfg, params, **kwargs)
+    except ValueError as e:
+        # constructor-level combo validation (e.g. --method em --rng
+        # xorwow --engine pallas: EM's stateful families are scan-only)
+        # surfaces as a parser error, not a raw traceback (round-5
+        # review: the engine=None auto-resolution above only protects
+        # the default path)
+        parser.error(str(e))
     m.init(args.seed)
     if not args.no_warmup:
         # discard the first (compiling) run, like exploration.cu:65-67;

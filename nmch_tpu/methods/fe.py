@@ -176,9 +176,13 @@ class NMCH_FE(NMCH):
         if interpret is None:
             interpret = not on_tpu()
         self.interpret = interpret
-        # carried per-path recurrence states (pallas stateful engine)
+        # carried per-path recurrence states (pallas stateful engine):
+        # valid only when (_state_seed, _state_epoch) match the streams
+        # at the next compute — _moments rebuilds otherwise
         self._state = None
         self._state_epoch = 0
+        self._state_seed = None
+        self._state_offset = 0
 
     # -- lifecycle --------------------------------------------------------
     def init(self, seed: int | None = None) -> None:
@@ -197,6 +201,8 @@ class NMCH_FE(NMCH):
         # seed restarts the streams; they rebuild lazily in _moments)
         self._state = None
         self._state_epoch = 0
+        self._state_seed = None
+        self._state_offset = 0
 
     def _moments(self, epoch: int):
         pv = self.params.as_array()
@@ -226,27 +232,45 @@ class NMCH_FE(NMCH):
         return self._scan_moments(pv, epoch, k0, k1, pidx)
 
     def _stateful_pallas_moments(self, pv, epoch: int):
-        """Fast-engine pricing on carried per-path recurrence states
-        (curand write-back parity).  The state is rebuilt from
-        (seed, epoch) whenever it is absent or out of step — which
-        makes checkpoint resume work unchanged: load_state restores
-        (seed, epoch) and the next compute() re-derives the state by
-        one skip-ahead + one dense F^(epoch*D) jump."""
+        """Fast-engine pricing with the scan engines' EXACT stream
+        contract: epoch e draws start at e * 2^EPOCH_LOG2 within each
+        path's 2^67 block, so scan and pallas prices agree bitwise at
+        every epoch and a (seed, epoch) checkpoint resumes identically
+        on either engine (round-5 review: the first cut continued the
+        kernel's write-back state sequentially, which silently diverged
+        from scan at epoch >= 1).
+
+        The carried post-kernel state (write-back, D = draws consumed
+        into epoch e-1's block) is reused when seed and epoch line up —
+        one dense boundary jump instead of a fresh per-path skip-ahead;
+        anything else (fresh pricer, load_state, seed change) rebuilds
+        from (seed, epoch) exactly."""
         from ..ops.fe_stateful_pallas import (
             fe_stateful_state, fe_moments_stateful_pallas, advance_state,
-            draws_per_compute)
-        if self._state is None or self._state_epoch != epoch:
+            draws_per_compute, epoch_stride)
+        from ..rng.streams import stateful_max_epoch
+        bound = stateful_max_epoch(self.rng)
+        if epoch >= bound:
+            raise ValueError(
+                f"epoch={epoch} exceeds the {self.rng} stream layout's "
+                f"{bound} epochs per path block (rng/{self.rng}.py "
+                f"docstring)")
+        D = draws_per_compute(self.cfg.N)
+        if (self._state is not None and self._state_epoch == epoch
+                and self._state_seed == self.streams.seed
+                and self._state.shape[1] * 128 == self.cfg.n_paths):
+            st = advance_state(self.rng, self._state,
+                               epoch_stride(self.rng) - self._state_offset)
+        else:
             st = fe_stateful_state(self.rng, self.streams.seed,
-                                   self.cfg.n_paths, 0)
-            if epoch:
-                st = advance_state(self.rng, st,
-                                   epoch * draws_per_compute(self.cfg.N))
-            self._state = st
+                                   self.cfg.n_paths, epoch)
         m, m2, st_new = fe_moments_stateful_pallas(
-            pv, self._state, N=self.cfg.N, n_paths=self.cfg.n_paths,
+            pv, st, N=self.cfg.N, n_paths=self.cfg.n_paths,
             rng=self.rng, interpret=self.interpret)
         self._state = st_new
         self._state_epoch = epoch + 1
+        self._state_seed = self.streams.seed
+        self._state_offset = D
         return m, m2
 
     def _scan_moments(self, pv, epoch: int, k0, k1, pidx):

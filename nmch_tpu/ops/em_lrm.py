@@ -68,29 +68,14 @@ LRM_PARAMS = ("T", "v_0", "k", "theta", "sigma")
 # positions of the LRM parameters inside the flat f32[8] params vector
 _P8 = {"T": 0, "v_0": 2, "k": 4, "theta": 6, "sigma": 7}
 
-_DG_C = tuple(np.float32(c) for c in
-              (-1.0 / 2.0, -1.0 / 12.0, 1.0 / 120.0, -1.0 / 252.0))
-
-
 def digamma_vec(z):
-    """psi(z) for f32 z > 0, branch-free (VPU/Mosaic friendly).
+    """psi(z) for f32 z > 0.
 
-    Three upward shifts (psi(z) = psi(z+1) - 1/z) onto z >= 3, then the
-    asymptotic series ln z - 1/2z - 1/12z^2 + 1/120z^4 - 1/252z^6.
-    Max abs error < 2e-6 over [0.05, 100] (tests/test_em_greeks.py
-    pins it against scipy.special.digamma)."""
-    z = z.astype(jnp.float32)
-    shift = jnp.zeros_like(z)
-    for _ in range(3):
-        small = z < np.float32(3.0)
-        shift = shift + jnp.where(small, np.float32(1.0) / z,
-                                  np.float32(0.0))
-        z = jnp.where(small, z + np.float32(1.0), z)
-    inv = np.float32(1.0) / z
-    inv2 = inv * inv
-    series = (jnp.log(z) + inv * (_DG_C[0] + inv * (
-        _DG_C[1] + inv2 * (_DG_C[2] + inv2 * _DG_C[3]))))
-    return series - shift
+    Delegates to ``jax.scipy.special.digamma`` (abs error < 1e-6 over
+    [0.05, 100], tests/test_em_greeks.py pins it against scipy) — the
+    score loop is a plain XLA jit, so no Mosaic-lowerable hand-rolled
+    series is needed here (round-5 review simplification)."""
+    return jax.scipy.special.digamma(z.astype(jnp.float32))
 
 
 def _transition_consts(p5, N: int):
@@ -144,7 +129,14 @@ def em_greeks_lrm(params_vec, epoch, k0, k1, *, N: int, n_paths: int,
                                       k0, k1, rng=rng)
         Vn = vfac * g
 
-        pois_fac = n / lam - np.float32(1.0)
+        # floor lam: small Gamma shapes d << 1 can underflow vfac*g to
+        # exactly 0 in f32, making lam = lam_c*V = 0 on some lane; n is
+        # then 0 and an unfloored n/lam would be NaN, poisoning every
+        # summed score (round-5 review).  With the floor the lane
+        # contributes pois_fac = -1 against V_t ~ 0 — negligible, and
+        # pricing itself never divides by lam.
+        pois_fac = n / jnp.maximum(lam, np.float32(1e-37)) \
+            - np.float32(1.0)
         gam_d = jnp.log(jnp.maximum(g, np.float32(1e-37))) \
             - digamma_vec(alpha)
         gam_v = (g - alpha) / vfac

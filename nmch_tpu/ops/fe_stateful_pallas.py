@@ -16,20 +16,23 @@ Design (vs the reference's state-array kernels):
   through the N-step ``fori_loop`` in registers — the analogue of K3
   copying curand states into shared memory (``NMCH_FE.cu:247-304``);
 * the kernel RETURNS the advanced states (curand's global-memory
-  write-back, ``NMCH_FE.cu:29,81,303``) so successive ``compute()``
-  calls continue each path's stream sequentially — exactly
-  ``curand_init(seed, path, 0)`` + consumption semantics;
-* stream resume from a (seed, epoch) checkpoint needs no state dump:
-  FE consumes a FIXED 4 * ceil(N/2) recurrence steps per path per
-  call (no rejection sampling), so the per-compute advance is one
-  dense jump matrix F^D — ``advance_state`` applies the host-computed
-  exact matrix power in one device mat-vec pass.
+  write-back, ``NMCH_FE.cu:29,81,303``); the method layer then rides
+  them onto the next epoch's stream boundary with ONE dense jump
+  (``advance_state`` by ``2^EPOCH_LOG2 - D`` where D =
+  ``draws_per_compute(N)`` is the FIXED per-call consumption — FE has
+  no rejection sampling), so successive ``compute()`` calls land on
+  exactly the scan engine's (seed, path, epoch) skip-ahead layout
+  without re-running the per-path init skip-ahead;
+* stream resume from a (seed, epoch) checkpoint therefore needs no
+  state dump: ``fe_stateful_state(rng, seed, n_paths, epoch)``
+  re-derives the epoch's boundary state exactly.
 
-Draw/consumption contract is shared with the scan engines
-(ops/fe_mrg.py / ops/fe_xorwow.py: 4 recurrence outputs per counter
-block drive two Box-Muller pairs), so kernel and golden engine are
-bitwise identical from the same initial state (tested in
-tests/test_fe_stateful_pallas.py).
+Draw/consumption contract AND epoch layout are shared with the scan
+engines (ops/fe_mrg.py / ops/fe_xorwow.py: 4 recurrence outputs per
+counter block drive two Box-Muller pairs; epochs at e * 2^40 within
+each path's 2^67 block), so kernel and golden engine are bitwise
+identical at every epoch (tested in tests/test_fe.py's stateful
+section and tests/test_tpu_hw.py).
 """
 
 from __future__ import annotations
@@ -138,8 +141,23 @@ def fe_stateful_state(rng: str, seed: int, n_paths: int, epoch=0):
     return jnp.stack(st)
 
 
+def epoch_stride(rng: str) -> int:
+    """Recurrence steps between successive epochs of one path's stream
+    (the scan engines' layout: epoch e starts at e * 2^EPOCH_LOG2
+    within the path's block — rng/xorwow.py / rng/mrg32k3a.py)."""
+    if rng == "xorwow":
+        from ..rng.xorwow import EPOCH_LOG2
+    else:
+        from ..rng.mrg32k3a import EPOCH_LOG2
+    return 1 << EPOCH_LOG2
+
+
+@functools.lru_cache(maxsize=8)
 def _host_jump_table(rng: str, n_steps: int):
-    """Exact host-side n_steps-step jump, as device-applicable tables."""
+    """Exact host-side n_steps-step jump, as device-applicable tables.
+
+    Cached: the per-compute boundary jump reuses the same
+    (rng, 2^EPOCH_LOG2 - D) table every call."""
     if rng == "xorwow":
         from ..rng.xorwow import _mat_pow, N_WORDS, WEYL
         P = _mat_pow(n_steps)
@@ -161,9 +179,11 @@ def advance_state(rng: str, state, n_steps: int):
     """Jump every lane's state forward by n_steps recurrence steps.
 
     n_steps is static (host matrix power, exact big-int arithmetic);
-    the device pass is one dense mat-vec per lane.  Used for
-    checkpoint resume: state after e pricing calls =
-    ``advance_state(rng, fe_stateful_state(...), e * draws_per_compute(N))``.
+    the device pass is one dense mat-vec per lane.  Used by the method
+    layer to ride a post-kernel state (D = draws_per_compute(N) steps
+    into epoch e's block) onto the next epoch boundary:
+    ``advance_state(rng, st, epoch_stride(rng) - D)`` ==
+    ``fe_stateful_state(rng, seed, n_paths, e + 1)`` bitwise.
     """
     if rng == "xorwow":
         tab, d_inc = _host_jump_table(rng, n_steps)

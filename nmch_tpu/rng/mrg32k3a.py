@@ -60,6 +60,7 @@ import numpy as np
 import jax.numpy as jnp
 from jax import lax
 
+from .bits import u23_to_f32
 from .philox import mulhilo32
 
 M1 = 4294967087          # 2^32 - 209
@@ -245,20 +246,17 @@ def mrg_step(s1, s2):
 
 
 _INV_M1 = np.float32(1.0 / M1)
-_F23 = np.float32(2.0 ** 23)
 _F16 = np.float32(2.0 ** 16)
 
 
 def _u32_to_f32(z):
     """Round-to-nearest u32 -> f32 without a convert op (Mosaic has no
     u32->f32 lowering — round-5 lesson).  Two exact 16-bit halves via
-    the 0x4B000000 exponent-bias bitcast (2^23 + x for x < 2^23), one
-    exact *2^16 scale, one final rounding add — bitwise-identical to
-    XLA's own cast."""
-    hi = ((z >> np.uint32(16)) | np.uint32(0x4B000000)) \
-        .view(jnp.float32) - _F23
-    lo = ((z & np.uint32(0xFFFF)) | np.uint32(0x4B000000)) \
-        .view(jnp.float32) - _F23
+    the exponent-bias bitcast (rng/bits.py::u23_to_f32), one exact
+    *2^16 scale, one final rounding add — bitwise-identical to XLA's
+    own cast."""
+    hi = u23_to_f32(z >> np.uint32(16))
+    lo = u23_to_f32(z & np.uint32(0xFFFF))
     return hi * _F16 + lo
 
 

@@ -59,7 +59,9 @@ import numpy as np
 import jax.numpy as jnp
 from jax import lax
 
-WEYL = 362437                # Weyl increment (Marsaglia 2003, xorwow)
+from .bits import u23_to_f32
+
+WEYL = 362437              # Weyl increment (Marsaglia 2003, xorwow)
 PATH_LOG2 = 67               # curand's XORWOW subsequence spacing
 EPOCH_LOG2 = 40              # our epoch spacing within a path block
 MAX_EPOCH = 1 << (PATH_LOG2 - EPOCH_LOG2)
@@ -243,7 +245,6 @@ def xorwow_step(s, d):
 
 
 _TWO_NEG23 = np.float32(2.0 ** -23)
-_F23 = np.float32(2.0 ** 23)
 
 
 def u01_from_out(o):
@@ -254,12 +255,9 @@ def u01_from_out(o):
     2^32 in f32 (the ulp there is 256) and the product lands on
     exactly 1.0 (round-4 review finding).
 
-    The integer->float conversion uses the exponent-bias bitcast
-    (0x4B000000 | x is the f32 encoding of 2^23 + x for x < 2^23;
-    subtracting 2^23 is exact) instead of an astype: Mosaic has no
-    u32->f32 convert lowering (round-5 lesson from putting this
-    function inside the stateful Pallas kernels), and the bitcast form
-    is bitwise-identical everywhere."""
-    xf = ((o >> np.uint32(9)) | np.uint32(0x4B000000)) \
-        .view(jnp.float32) - _F23
-    return (xf + np.float32(0.5)) * _TWO_NEG23
+    The integer->float conversion goes through the shared
+    exponent-bias bitcast (rng/bits.py::u23_to_f32) instead of an
+    astype: Mosaic has no u32->f32 convert lowering (round-5 lesson
+    from putting this function inside the stateful Pallas kernels),
+    and the bitcast form is bitwise-identical everywhere."""
+    return (u23_to_f32(o >> np.uint32(9)) + np.float32(0.5)) * _TWO_NEG23

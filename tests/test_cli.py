@@ -166,3 +166,14 @@ def test_explore_batched_em_conditional_threefry4(capsys):
     import math
     errs = [float(l.split(",")[5]) for l in lines]
     assert all(math.isfinite(e) and e >= 0 for e in errs)
+
+
+def test_cli_em_stateful_explicit_pallas_is_parser_error(capsys):
+    """--method em --rng xorwow --engine pallas must exit with a parser
+    error, not a raw ValueError traceback (round-5 review: the
+    engine=None auto-resolution only protected the default path)."""
+    with pytest.raises(SystemExit) as ex:
+        cli_run(["--method", "em", "--rng", "xorwow",
+                 "--engine", "pallas", "--NB", "2", "--N", "8"])
+    assert ex.value.code == 2
+    assert "scan" in capsys.readouterr().err

@@ -179,3 +179,19 @@ def test_em_method_api_lrm():
     assert all(np.isfinite(v) for v in out.values())
     with pytest.raises(ValueError, match="not both"):
         m.greeks(fd=True, lrm=True)
+
+
+def test_em_lrm_finite_under_gamma_underflow():
+    """Small Gamma shapes d = 2*k*theta/sigma^2 << 1 underflow vfac*g
+    to exactly 0.0 in f32 on a large fraction of lanes (P ~ 40% per
+    draw at d = 0.01), driving the next step's lam to 0; the Poisson
+    score's n/lam must not turn those lanes into NaN and poison all
+    five greeks (round-5 review — pricing never divides by lam, only
+    the score does)."""
+    from nmch_tpu.ops.em_lrm import em_greeks_lrm
+    p = HestonParams(k=0.5, theta=0.01, sigma=1.0)
+    price, g = em_greeks_lrm(p.as_array(), jnp.uint32(0), K0, K1,
+                             N=16, n_paths=2048)
+    assert np.isfinite(float(price))
+    for name, v in g.items():
+        assert np.isfinite(float(v)), name

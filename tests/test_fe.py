@@ -433,22 +433,42 @@ def test_fe_stateful_pallas_writeback_is_dense_jump(srng):
     assert np.array_equal(np.asarray(st1), np.asarray(st_jump))
 
 
+@pytest.mark.parametrize("srng", ["xorwow", "mrg32k3a"])
+def test_fe_stateful_pallas_epoch_parity_with_scan(srng):
+    """Both stateful families: scan == pallas price bitwise at epochs
+    0-2 (the cross-engine stream contract, CLAUDE.md invariants)."""
+    from nmch_tpu.methods.fe import NMCH_FE
+    cfg = SimConfig(NTPB=256, NB=4, N=12, seed=3)
+    mp = NMCH_FE(cfg, P, engine="pallas", rng=srng)
+    mp.init(3)
+    ms = NMCH_FE(cfg, P, engine="scan", rng=srng)
+    ms.init(3)
+    for _ in range(3):
+        assert mp.compute().price == ms.compute().price
+
+
 def test_fe_stateful_pallas_method_continuation_and_resume(tmp_path):
-    """Method-level: sequential computes continue the streams
-    (write-back), and a (seed, epoch) checkpoint resumes bitwise."""
+    """Method-level: the fused engine keeps the scan engines' EXACT
+    (seed, path, epoch) stream contract — scan == pallas bitwise at
+    EVERY epoch (round-5 review: the first cut continued the kernel
+    write-back sequentially and silently diverged at epoch >= 1) —
+    and a (seed, epoch) checkpoint resumes bitwise."""
     import os
     from nmch_tpu.methods.fe import NMCH_FE
     cfg = SimConfig(NTPB=256, NB=4, N=16, seed=5)
     m = NMCH_FE(cfg, P, engine="pallas", rng="xorwow")
     m.init(5)
-    r1 = m.compute()
-    r2 = m.compute()
-    assert r1.price != r2.price
-    # epoch-0 parity with the scan engine (same init state, same draws)
     ms = NMCH_FE(cfg, P, engine="scan", rng="xorwow")
     ms.init(5)
-    assert ms.compute().price == r1.price
-    # resume from checkpoint reproduces the sequential continuation
+    # epochs 0-2: epoch 0 exercises the fresh skip-ahead init, 1-2 the
+    # carried-state boundary jump — all must match scan bitwise
+    prices = []
+    for _ in range(3):
+        rp = m.compute()
+        assert ms.compute().price == rp.price
+        prices.append(rp.price)
+    assert len(set(prices)) == 3        # fresh draws per epoch
+    # resume from checkpoint reproduces the continuation
     m2 = NMCH_FE(cfg, P, engine="pallas", rng="xorwow")
     m2.init(5)
     m2.compute()
@@ -456,7 +476,20 @@ def test_fe_stateful_pallas_method_continuation_and_resume(tmp_path):
     m2.save_state(ck)
     m3 = NMCH_FE(cfg, P, engine="pallas", rng="xorwow")
     m3.load_state(ck)
-    assert m3.compute().price == r2.price
+    assert m3.compute().price == prices[1]
+    # a checkpoint from a DIFFERENT seed loaded into a USED pricer must
+    # not reuse the old seed's carried states (round-5 review bug #1)
+    m7 = NMCH_FE(cfg, P, engine="pallas", rng="xorwow")
+    m7.init(7)
+    m7.compute()
+    ck7 = os.path.join(tmp_path, "ck7.json")
+    m7.save_state(ck7)
+    want = m7.compute().price
+    used = NMCH_FE(cfg, P, engine="pallas", rng="xorwow")
+    used.init(5)
+    used.compute()
+    used.load_state(ck7)
+    assert used.compute().price == want
 
 
 def test_fe_stateful_pallas_validation():
