@@ -33,7 +33,8 @@ if os.environ.get("NMCH_TPU_TESTS") != "1":
     pytest.skip("set NMCH_TPU_TESTS=1 (with a real TPU) to run",
                 allow_module_level=True)
 
-from nmch_tpu.params import HestonParams  # noqa: E402
+from nmch_tpu.params import HestonParams, SimConfig  # noqa: E402
+from nmch_tpu.methods.fe import NMCH_FE  # noqa: E402
 from nmch_tpu.rng.philox import split_seed  # noqa: E402
 from nmch_tpu.ops.fe import fe_moments_scan, path_index_grid  # noqa: E402
 from nmch_tpu.ops.fe_pallas import fe_moments_pallas  # noqa: E402
@@ -284,3 +285,22 @@ def test_em_xorwow_prices_sanely_on_hw():
     from nmch_tpu.results import SimResult
     res = SimResult(float(m), float(m2), n_paths)
     assert abs(res.price - heston_call_undiscounted(P)) < 4 * res.ci_error
+
+
+@pytest.mark.parametrize("srng", ["xorwow", "mrg32k3a"])
+def test_fe_stateful_method_epoch_parity_on_hw(srng):
+    """Round 5 (review fix): the method-level stream contract on real
+    Mosaic — scan == pallas at epochs 0-2, exercising the carried-
+    state boundary jump (advance_state by 2^EPOCH_LOG2 - D) between
+    computes.  Same (N, n_paths) shape as the kernel bitwise test, so
+    the kernel compile is cache-warm; moments at the suite's rel=1e-6
+    bar (tree sum vs Kahan sum, module docstring)."""
+    _require_tpu()
+    cfg = SimConfig(NTPB=512, NB=16, N=64, seed=99)   # 8192 paths
+    mp = NMCH_FE(cfg, P, engine="pallas", rng=srng)
+    mp.init(99)
+    ms = NMCH_FE(cfg, P, engine="scan", rng=srng)
+    ms.init(99)
+    for _ in range(3):
+        assert mp.compute().price == pytest.approx(
+            ms.compute().price, rel=1e-6)
