@@ -65,7 +65,7 @@ def worker(args, process_id: int | None = None) -> None:
     m, m2 = sharded_moments(
         mesh, params.as_array(), seed=1234, epoch=0,
         N=args.N, n_paths=n_paths, method=args.method, engine=args.engine,
-        conditional=args.conditional, interpret=args.cpu)
+        rng=args.rng, conditional=args.conditional, interpret=args.cpu)
     if jax.process_index() == 0:
         print(f"hosts={jax.process_count()} chips={len(devices)} "
               f"paths={n_paths} {args.method}/{args.engine}: "
@@ -86,6 +86,10 @@ def main() -> int:
     ap.add_argument("--method", choices=["fe", "em"], default="fe")
     ap.add_argument("--engine", choices=["scan", "pallas", "qmc"],
                     default="scan")
+    ap.add_argument("--rng", default="philox",
+                    help="stream family (incl. the stateful pair "
+                         "mrg32k3a/xorwow — their skip-ahead shards "
+                         "across hosts like the counter rngs)")
     ap.add_argument("--conditional", action="store_true",
                     help="EM: closed-form conditional payoff")
     ap.add_argument("--process-id", type=int, default=None,
@@ -104,6 +108,7 @@ def main() -> int:
                               f"--N={args.N}",
                               f"--method={args.method}",
                               f"--engine={args.engine}",
+                              f"--rng={args.rng}",
                               *(["--conditional"] if args.conditional
                                 else []),
                               f"--process-id={i}"])

@@ -59,8 +59,9 @@ def build_parser() -> argparse.ArgumentParser:
                                      "tpu", "mrg32k3a", "xorwow"],
                    default="philox",
                    help="mrg32k3a / xorwow = the reference's two stateful "
-                        "curand families (skippable-stream rebuilds; "
-                        "need --engine scan)")
+                        "curand families (skippable-stream rebuilds; FE "
+                        "prices them on either engine, EM needs "
+                        "--engine scan)")
     p.add_argument("--poisson-cut", type=float, default=None,
                    help="EM only: lambda above which the Poisson mixture "
                         "index uses the one-round normal approximation "

@@ -76,7 +76,9 @@ class NMCH_EM(NMCH):
         self.rng = rng
         self.conditional = conditional
         # method-level fast default; ops-level None stays curand's 4000
-        self.poisson_cut = 128.0 if poisson_cut is None else poisson_cut
+        from ..ops.em import FAST_POISSON_CUT
+        self.poisson_cut = (FAST_POISSON_CUT if poisson_cut is None
+                            else poisson_cut)
         if interpret is None:
             interpret = not on_tpu()
         self.interpret = interpret
@@ -144,28 +146,28 @@ class NMCH_EM(NMCH):
             self.params.as_array(), jnp.uint32(self.streams.next_epoch()),
             k0, k1, N=self.cfg.N, n_paths=self.cfg.n_paths, rng=self.rng,
             poisson_cut=self.poisson_cut, fix_strike=fix_strike)
-        out = {"price": float(price),
-               **{k: float(v) for k, v in
-                  jax.device_get(grads).items()}}
+        extra = {}
         if fd:
-            fdg = em_greeks_fd(
+            extra = em_greeks_fd(
                 self.params.as_array(),
                 jnp.uint32(self.streams.next_epoch()), k0, k1,
                 N=self.cfg.N, n_paths=self.cfg.n_paths, rng=self.rng,
                 poisson_cut=self.poisson_cut)
-            out.update({k: float(v) for k, v in
-                        jax.device_get(fdg).items()})
         elif lrm:
             from ..ops.em_lrm import em_greeks_lrm
             # strict curand poisson switching (None -> 4000): the
             # scored density must match the sampled law (em_lrm.py)
-            _, lg = em_greeks_lrm(
+            _, extra = em_greeks_lrm(
                 self.params.as_array(),
                 jnp.uint32(self.streams.next_epoch()), k0, k1,
                 N=self.cfg.N, n_paths=self.cfg.n_paths, rng=self.rng)
-            out.update({k: float(v) for k, v in
-                        jax.device_get(lg).items()})
-        return out
+        # ONE batched device fetch: per-dict float()/device_get calls
+        # cost a ~28 ms RPC round-trip each on tunneled TPUs
+        # (round-5 review; same batching as compute() and FE.greeks())
+        price, grads, extra = jax.device_get((price, grads, extra))
+        return {"price": float(price),
+                **{k: float(v) for k, v in grads.items()},
+                **{k: float(v) for k, v in extra.items()}}
 
     def compute(self) -> SimResult:
         if self.streams is None:

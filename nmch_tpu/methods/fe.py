@@ -212,8 +212,10 @@ class NMCH_FE(NMCH):
         if self.engine == "qmc":
             # the fused streaming simulator when on real TPU and the
             # replicate size tiles into 1024-path blocks
+            from ..ops.fe_qmc import DEFAULT_N_SHIFTS
             sim = ("pallas" if not self.interpret
-                   and (self.cfg.n_paths // 8) % 1024 == 0 else "scan")
+                   and (self.cfg.n_paths // DEFAULT_N_SHIFTS) % 1024 == 0
+                   else "scan")
             return fe_moments_qmc(pv, jnp.uint32(epoch), k0, k1,
                                   N=self.cfg.N, n_paths=self.cfg.n_paths,
                                   sim=sim, scramble=self.scramble,

@@ -44,6 +44,14 @@ from .sampling import (
 )
 from .fe import path_index_grid  # re-exported layout helper
 
+# measured fast Poisson cut (benchmarks/RESULTS.md EM ablation): the
+# price is insensitive down to ~128 while the PTRS rounds it avoids
+# dominate the EM step cost.  NMCH_EM's method-layer default and the
+# mesh layer's sharded default both resolve None to this, so a default
+# sharded run draws the same randomness as a default single-chip run;
+# ops-layer None stays curand's strict 4000 (sampling._POISSON_LARGE).
+FAST_POISSON_CUT = 128.0
+
 
 def em_path_law(params_vec, N: int, path_lo, path_hi, epoch, k0, k1,
                 rng: str = "philox", poisson_cut: float | None = None,

@@ -221,6 +221,21 @@ def _fe_kernel(pv_ref, sc_ref, sum_ref, sumsq_ref, comp_ref, *, N: int,
     _kahan_add(sumsq_ref, comp_ref, 1, tile_sumsq)
 
 
+def largest_divisor_leq(m: int, cap: int) -> int:
+    """Largest divisor of m that is <= cap (cap >= 1) — the shared
+    tiling/chunking utility (tile rows here, point and time chunks in
+    ops/fe_qmc.py)."""
+    best = 1
+    d = 1
+    while d * d <= m:
+        if m % d == 0:
+            for c in (d, m // d):
+                if c <= cap and c > best:
+                    best = c
+        d += 1
+    return best
+
+
 def _pick_tile_rows(total_rows: int, target: int = 128) -> int:
     """Largest divisor of total_rows that is <= target.
 
@@ -231,15 +246,7 @@ def _pick_tile_rows(total_rows: int, target: int = 128) -> int:
     16 (per-program overhead).  Callers shrink ``target`` when the
     kernel carries more live state per lane (rot copies, EM samplers).
     """
-    best = 1
-    d = 1
-    while d * d <= total_rows:
-        if total_rows % d == 0:
-            for c in (d, total_rows // d):
-                if c <= target and c > best:
-                    best = c
-        d += 1
-    return best
+    return largest_divisor_leq(total_rows, target)
 
 
 @functools.partial(jax.jit, static_argnames=("N", "n_paths", "tile_rows",

@@ -71,6 +71,14 @@ from ..rng.sobol import (
     u01_from_words, pm_sign_from_words,
 )
 from .fe import fe_consts, fe_step
+from .fe_pallas import largest_divisor_leq as _largest_divisor_leq
+
+# default replicate count for the randomized-QMC CI (module docstring
+# point 5).  The method layer's pallas-eligibility check and the mesh
+# layer's point-range sharding both derive from THIS constant — a
+# literal 8 at those sites would silently desync if it ever changed
+# (round-5 review).
+DEFAULT_N_SHIFTS = 8
 
 
 @functools.lru_cache(maxsize=8)
@@ -113,19 +121,6 @@ def bb_plan(N: int):
         segs = nxt
     assert k == N, (k, N)
     return levels
-
-
-def _largest_divisor_leq(m: int, cap: int) -> int:
-    """Largest divisor of m that is <= cap (cap >= 1)."""
-    best = 1
-    d = 1
-    while d * d <= m:
-        if m % d == 0:
-            for c in (d, m // d):
-                if c <= cap and c > best:
-                    best = c
-        d += 1
-    return best
 
 
 @functools.lru_cache(maxsize=8)
@@ -446,15 +441,9 @@ def _qmc_sim_kernel(pv_ref, dw1_ref, dw2_ref, sum_ref, sumsq_ref,
 
 
 def _pick_time_chunk(N: int, target: int = 125) -> int:
-    best = 1
-    d = 1
-    while d * d <= N:
-        if N % d == 0:
-            for c_ in (d, N // d):
-                if c_ <= target and c_ > best:
-                    best = c_
-        d += 1
-    return best
+    """Largest divisor of N <= target time steps per kernel chunk
+    (VMEM budget for the streaming simulator's increment slabs)."""
+    return _largest_divisor_leq(N, target)
 
 
 def qmc_payoff_sums_pallas(params_vec, dW1, dW2, n_shifts: int, *,
@@ -558,7 +547,7 @@ def rqmc_moments_from_means(means, n_paths: int, n_shifts: int):
                                              "max_chunk", "interpret",
                                              "ndtri_mode", "bridge"))
 def fe_moments_qmc(params_vec, epoch, k0, k1, *, N: int, n_paths: int,
-                   n_shifts: int = 8, sim: str = "scan",
+                   n_shifts: int = DEFAULT_N_SHIFTS, sim: str = "scan",
                    scramble: str = "lms-shift",
                    max_chunk: int | None = None,
                    interpret: bool = False, ndtri_mode: str = "fast",

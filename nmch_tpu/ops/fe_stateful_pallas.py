@@ -175,8 +175,15 @@ def _host_jump_table(rng: str, n_steps: int):
     return J1, J2
 
 
+@functools.partial(jax.jit, static_argnames=("rng", "n_steps"))
 def advance_state(rng: str, state, n_steps: int):
     """Jump every lane's state forward by n_steps recurrence steps.
+
+    Jitted (rng/n_steps static): the method layer applies the
+    per-compute epoch-boundary jump through this, and an eager run
+    would cost one tunneled-TPU RPC per modular op for the mrg
+    mat-vec.  The host matrix power runs at trace time (and is
+    lru-cached in _host_jump_table across shapes/processes).
 
     n_steps is static (host matrix power, exact big-int arithmetic);
     the device pass is one dense mat-vec per lane.  Used by the method

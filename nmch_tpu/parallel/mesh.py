@@ -49,13 +49,21 @@ def sharded_moments(mesh: Mesh, params_vec, seed: int, epoch, *,
                     engine: str = "pallas", interpret: bool = False,
                     rng: str = "philox", rot: int = 1,
                     conditional: bool = False,
-                    scramble: str = "auto"):
+                    scramble: str = "auto",
+                    poisson_cut: float | None = None):
     """(E[X], E[X^2]) over n_paths sharded across the mesh's path axis.
 
     Every chip simulates n_paths/n_chips paths whose stream indices are
     offset by its mesh position, then the two partial sums ride one
     psum over ICI.  Identical results to a single-chip run with the
     same (seed, epoch) — sharding changes the schedule, not the math.
+
+    poisson_cut (EM only): None resolves to NMCH_EM's default (the
+    measured fast cut, methods/em.py) so a default sharded EM run
+    draws the SAME randomness as a default single-chip NMCH_EM run —
+    the ops layer's own None would mean the strict curand cut 4000
+    and silently break that parity (round-5 review); pass 4000.0
+    explicitly for curand-parity switching.
     """
     n_dev = mesh.devices.size
     if n_paths % (n_dev * 128):
@@ -108,6 +116,11 @@ def sharded_moments(mesh: Mesh, params_vec, seed: int, epoch, *,
         raise ValueError("rot is FE-only")
     if method == "fe" and conditional:
         raise ValueError("conditional is EM-only")
+    if poisson_cut is not None and method != "em":
+        raise ValueError("poisson_cut is EM-only")
+    if method == "em" and poisson_cut is None:
+        from ..ops.em import FAST_POISSON_CUT
+        poisson_cut = FAST_POISSON_CUT   # NMCH_EM's default (docstring)
     per_chip = n_paths // n_dev
     from ..rng.philox import split_seed
     k0, k1 = split_seed(seed)
@@ -122,8 +135,9 @@ def sharded_moments(mesh: Mesh, params_vec, seed: int, epoch, *,
         # n_paths/n_shifts divisible by n_dev (and the hilo block).
         from ..ops.fe_qmc import (
             qmc_replicate_payoff_sums, rqmc_moments_from_means,
+            DEFAULT_N_SHIFTS,
         )
-        n_shifts = 8
+        n_shifts = DEFAULT_N_SHIFTS
         n = n_paths // n_shifts
         if n % n_dev:
             raise ValueError(f"n_paths/n_shifts={n} must be divisible "
@@ -159,6 +173,7 @@ def sharded_moments(mesh: Mesh, params_vec, seed: int, epoch, *,
                 m, m2 = em_moments_pallas(pv, sw, ep, base, N=N,
                                           n_paths=per_chip, rng=rng,
                                           conditional=conditional,
+                                          poisson_cut=poisson_cut,
                                           interpret=interpret)
         else:
             pidx = path_index_grid(per_chip) + base
@@ -179,7 +194,7 @@ def sharded_moments(mesh: Mesh, params_vec, seed: int, epoch, *,
             else:
                 m, m2 = em_moments_scan(
                     pv, N, pidx, ep, sw[0], sw[1], rng=rng,
-                    conditional=conditional,
+                    conditional=conditional, poisson_cut=poisson_cut,
                     seed=seed if rng in ("mrg32k3a", "xorwow") else None)
         # per-chip means -> global means (equal shard sizes)
         nd = jnp.float32(n_dev)

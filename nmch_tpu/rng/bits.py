@@ -17,6 +17,20 @@ import jax.numpy as jnp
 _F23 = np.float32(2.0 ** 23)
 
 
+def splitmix64(x):
+    """One splitmix64 step on host python ints: (new_x, output word).
+
+    The shared (seed -> state-words) derivation for the stateful
+    families' ``seed_state`` (rng/mrg32k3a.py, rng/xorwow.py) and the
+    native validator's hashed per-path seeding
+    (native/nmch_native.cpp::splitmix64_mix uses the same finalizer)."""
+    x = (x + 0x9E3779B97F4A7C15) & (2**64 - 1)
+    z = x
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & (2**64 - 1)
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & (2**64 - 1)
+    return x, z ^ (z >> 31)
+
+
 def u23_to_f32(x):
     """Exact u32 (< 2^23) -> f32 without a convert op.
 

@@ -60,7 +60,7 @@ import numpy as np
 import jax.numpy as jnp
 from jax import lax
 
-from .bits import u23_to_f32
+from .bits import splitmix64, u23_to_f32
 from .philox import mulhilo32
 
 M1 = 4294967087          # 2^32 - 209
@@ -121,20 +121,12 @@ def _jump_tables():
     return out[0], out[1]
 
 
-def _splitmix64(x):
-    x = (x + 0x9E3779B97F4A7C15) & (2**64 - 1)
-    z = x
-    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & (2**64 - 1)
-    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & (2**64 - 1)
-    return x, z ^ (z >> 31)
-
-
 def seed_state(seed: int):
     """Host: integer seed -> ((s1 triple), (s2 triple)), each word in
     [1, m-1] (never the forbidden all-zero state)."""
     x, words = int(seed) & (2**64 - 1), []
     for m in (M1, M1, M1, M2, M2, M2):
-        x, w = _splitmix64(x)
+        x, w = splitmix64(x)
         words.append(int(w % (m - 1)) + 1)
     return tuple(words[:3]), tuple(words[3:])
 

@@ -59,7 +59,7 @@ import numpy as np
 import jax.numpy as jnp
 from jax import lax
 
-from .bits import u23_to_f32
+from .bits import splitmix64, u23_to_f32
 
 WEYL = 362437              # Weyl increment (Marsaglia 2003, xorwow)
 PATH_LOG2 = 67               # curand's XORWOW subsequence spacing
@@ -163,14 +163,6 @@ def _jump_tables():
     return out
 
 
-def _splitmix64(x):
-    x = (x + 0x9E3779B97F4A7C15) & (2**64 - 1)
-    z = x
-    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & (2**64 - 1)
-    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & (2**64 - 1)
-    return x, z ^ (z >> 31)
-
-
 def seed_state(seed: int):
     """Host: integer seed -> ((x, y, z, w, v), d0) python-int words.
 
@@ -179,7 +171,7 @@ def seed_state(seed: int):
     """
     x, words = int(seed) & (2**64 - 1), []
     for _ in range(N_WORDS + 1):
-        x, w = _splitmix64(x)
+        x, w = splitmix64(x)
         words.append(int(w & 0xFFFFFFFF))
     st = words[:N_WORDS]
     if not any(st):

@@ -100,3 +100,20 @@ def test_two_process_qmc_matches_single_device():
                            k0, k1, N=N, n_paths=n_paths, n_shifts=8,
                            sim="scan")
     assert sharded_price == pytest.approx(float(ms), rel=2e-5)
+
+
+@pytest.mark.slow
+def test_two_process_stateful_family_matches_single_device():
+    """The stateful xorwow family across the process boundary: the
+    matrix skip-ahead gives each host's chips disjoint path ranges of
+    the SAME per-path streams, so the 8-way multi-process price equals
+    the single-device golden run (round-5 multihost depth)."""
+    n_paths, N = 4096, 12
+    sharded_price = _run_multihost(2, 4, n_paths // 8, N, port=9749,
+                                   extra=("--rng=xorwow",))
+
+    from nmch_tpu.ops.fe_xorwow import fe_moments_xorwow
+    ms, _ = jax.jit(fe_moments_xorwow, static_argnums=(1, 4))(
+        HestonParams().as_array(), N, path_index_grid(n_paths),
+        jnp.uint32(0), 1234)
+    assert sharded_price == pytest.approx(float(ms), rel=2e-6)

@@ -28,10 +28,18 @@ def mesh8():
 
 def _single(method, n_paths, N, seed=1234, epoch=0):
     k0, k1 = split_seed(seed)
-    fn = fe_moments_scan if method == "fe" else em_moments_scan
-    m, m2 = jax.jit(fn, static_argnums=1)(
-        P.as_array(), N, path_index_grid(n_paths), jnp.uint32(epoch),
-        k0, k1)
+    if method == "fe":
+        m, m2 = jax.jit(fe_moments_scan, static_argnums=1)(
+            P.as_array(), N, path_index_grid(n_paths), jnp.uint32(epoch),
+            k0, k1)
+    else:
+        # sharded_moments' EM default resolves to NMCH_EM's fast
+        # poisson cut (mesh.py docstring) — the golden must draw the
+        # same randomness
+        from nmch_tpu.ops.em import FAST_POISSON_CUT
+        m, m2 = jax.jit(em_moments_scan, static_argnums=(1, 6, 7, 8))(
+            P.as_array(), N, path_index_grid(n_paths), jnp.uint32(epoch),
+            k0, k1, "philox", False, FAST_POISSON_CUT)
     return float(m), float(m2)
 
 
@@ -195,3 +203,31 @@ def test_sharded_stateful_family_rejects_bad_combos(mesh8):
         kw.update(bad)
         with pytest.raises(ValueError):
             sharded_moments(mesh8, P.as_array(), seed=1, epoch=0, **kw)
+
+
+def test_sharded_em_default_poisson_cut_matches_method_layer(mesh8):
+    """Default sharded EM must draw the SAME randomness as a default
+    single-chip NMCH_EM run (round-5 review: the mesh layer used to
+    fall through to the ops-layer curand cut 4000 while NMCH_EM
+    defaults to the measured fast cut, so in the lambda in (128, 4000)
+    regime sharded and single-chip default runs silently diverged)."""
+    from nmch_tpu.ops.em import em_moments_scan, FAST_POISSON_CUT
+    # sigma=0.05 puts lambda ~ 6e2 between the two cuts at N=8
+    p = HestonParams(sigma=0.05)
+    n_paths, N = 2048, 8
+    m8, _ = sharded_moments(mesh8, p.as_array(), seed=1234, epoch=0,
+                            N=N, n_paths=n_paths, method="em",
+                            engine="scan")
+    k0, k1 = split_seed(1234)
+    fn = jax.jit(em_moments_scan, static_argnums=(1, 6, 7, 8))
+    m_fast, _ = fn(p.as_array(), N, path_index_grid(n_paths),
+                   jnp.uint32(0), k0, k1, "philox", False,
+                   FAST_POISSON_CUT)
+    m_curand, _ = fn(p.as_array(), N, path_index_grid(n_paths),
+                     jnp.uint32(0), k0, k1, "philox", False, None)
+    assert float(m8) == pytest.approx(float(m_fast), rel=2e-6)
+    assert float(m_fast) != float(m_curand)   # the regimes do differ
+    with pytest.raises(ValueError, match="EM-only"):
+        sharded_moments(mesh8, p.as_array(), seed=1, epoch=0, N=4,
+                        n_paths=1024, method="fe", engine="scan",
+                        poisson_cut=128.0)
