@@ -46,6 +46,18 @@ Reported keys (round-3 VERDICT next-step #6 — raw AND error-matched):
                          scrambles — the at-scale regime where the
                          shared-LMS decay stalls but owen holds 76-78x
                          (round-4 attribution).
+  em_value / em_vs_baseline  (TPU only) the exact-scheme (Broadie-Kaya
+                         style) EM engine at the reference's 512x512
+                         grid config (2^18 paths x N=10^3, threefry4,
+                         fast poisson_cut) vs its ~600 ms
+                         (BASELINE.md execution_time_comparison.png).
+  em_cond_value / em_cond_variance_ratio / em_cond_error_matched
+                         conditional=True (closed-form terminal payoff
+                         given the variance path): raw throughput, the
+                         plain/conditional variance ratio, and the
+                         time-to-equal-CI multiple vs the reference =
+                         ratio x em_cond_value / EM_BASELINE
+                         (RESULTS.md round-3 EM headline methodology).
 
 Timing methodology: compile + warm-up discarded (like the reference's
 exploration warm-up, exploration.cu:65-67), then K runs dispatched
@@ -73,6 +85,7 @@ from __future__ import annotations
 
 import functools
 import json
+import sys
 import time
 import traceback
 
@@ -85,17 +98,32 @@ REPS = 5
 QMC_PATHS = 1 << 20
 QMC_N = 1000
 RETRY_BACKOFF_S = 120.0   # a killed/wedged tunnel recovers in ~1-3 min
+EM_PATHS = 1 << 18     # the reference's 512x512 EM grid config
+EM_N = 1000
+EM_BASELINE = EM_PATHS * EM_N / 0.600   # ~600 ms, BASELINE.md:24
+
+
+def _note(msg: str) -> None:
+    """Progress chatter -> stderr (stdout is ONLY the one JSON line;
+    the per-section wall-clock stamps are what make a driver-side hang
+    or slow-compile diagnosable from the captured log)."""
+    print(f"# bench {time.strftime('%H:%M:%S')} {msg}",
+          file=sys.stderr, flush=True)
 
 
 def _attempt(fn, name: str, errors: list, retries: int = 1):
     """Run fn(); on failure sleep + retry once, then record and None."""
     for a in range(retries + 1):
         try:
-            return fn()
+            t0 = time.perf_counter()
+            _note(f"section {name}: start (attempt {a + 1})")
+            res = fn()
+            _note(f"section {name}: done in "
+                  f"{time.perf_counter() - t0:.1f}s")
+            return res
         except Exception as e:  # noqa: BLE001 — resilience is the point
             msg = f"{name}: {type(e).__name__}: {e}"
-            print(f"# bench section failed (attempt {a + 1}): {msg}",
-                  flush=True)
+            _note(f"section failed (attempt {a + 1}): {msg}")
             traceback.print_exc()
             if a < retries:
                 time.sleep(RETRY_BACKOFF_S)
@@ -274,6 +302,50 @@ def main() -> None:
         scale_keys = _attempt(qmc_scale_section, "qmc_scale", errors)
         if scale_keys:
             out.update(scale_keys)
+
+    # --- EM: the reference's other headline (~600 ms at its 512x512
+    # grid = 2^18 paths x N=10^3, BASELINE.md:24).  Plain + conditional
+    # at the shipped default config (threefry4, fast poisson_cut, auto
+    # tile); the conditional estimator's error-matched credit uses the
+    # measured plain/conditional variance ratio (RESULTS.md round-3 EM
+    # headline: ~18x).  TPU only — like repro/qmc_scale, a hardware
+    # throughput claim.
+    def em_section():
+        from nmch_tpu.ops.em_pallas import em_moments_pallas
+        from nmch_tpu.ops.em import FAST_POISSON_CUT
+
+        def em_timed(conditional):
+            def em_run(epoch):
+                return em_moments_pallas(
+                    pv, sw, jnp.uint32(epoch), jnp.uint32(0),
+                    N=EM_N, n_paths=EM_PATHS, rng="threefry4",
+                    conditional=conditional,
+                    poisson_cut=FAST_POISSON_CUT)
+            jax.device_get(em_run(0))
+            t0 = time.perf_counter()
+            outs = [em_run(1 + i) for i in range(REPS)]
+            vals = jax.device_get(outs)
+            dt = (time.perf_counter() - t0) / REPS
+            var = sum(float(v[1]) - float(v[0]) ** 2
+                      for v in vals) / REPS
+            return EM_PATHS * EM_N / dt, var
+
+        plain_tput, plain_var = em_timed(False)
+        cond_tput, cond_var = em_timed(True)
+        keys = {"em_value": round(plain_tput, 1),
+                "em_vs_baseline": round(plain_tput / EM_BASELINE, 4),
+                "em_cond_value": round(cond_tput, 1)}
+        if cond_var > 0:
+            ratio = plain_var / cond_var
+            keys["em_cond_variance_ratio"] = round(ratio, 2)
+            keys["em_cond_error_matched"] = round(
+                ratio * cond_tput / EM_BASELINE, 1)
+        return keys
+
+    if on_tpu:
+        em_keys = _attempt(em_section, "em", errors)
+        if em_keys:
+            out.update(em_keys)
 
     import math
     out["config"] = (
