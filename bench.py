@@ -85,7 +85,9 @@ from __future__ import annotations
 
 import functools
 import json
+import os
 import sys
+import threading
 import time
 import traceback
 
@@ -98,6 +100,18 @@ REPS = 5
 QMC_PATHS = 1 << 20
 QMC_N = 1000
 RETRY_BACKOFF_S = 120.0   # a killed/wedged tunnel recovers in ~1-3 min
+# hard process deadline: a dead tunnel can HANG a device_get forever
+# (not raise — the round-5 capture attempt sat 50 min in one section),
+# and no try/except helps a call that never returns.  A legit fresh
+# solo run is ~10-25 min incl. first-time Mosaic compiles; past this
+# deadline the watchdog thread emits the partial JSON (whatever
+# sections completed, plus an error naming the hung section) and
+# force-exits so the driver ALWAYS gets the line.
+WATCHDOG_S = 2700.0
+
+_current_section = "startup"
+_emit_lock = threading.Lock()
+_emitted = False
 EM_PATHS = 1 << 18     # the reference's 512x512 EM grid config
 EM_N = 1000
 EM_BASELINE = EM_PATHS * EM_N / 0.600   # ~600 ms, BASELINE.md:24
@@ -113,6 +127,8 @@ def _note(msg: str) -> None:
 
 def _attempt(fn, name: str, errors: list, retries: int = 1):
     """Run fn(); on failure sleep + retry once, then record and None."""
+    global _current_section
+    _current_section = name
     for a in range(retries + 1):
         try:
             t0 = time.perf_counter()
@@ -138,9 +154,25 @@ def main() -> None:
                  "unit": "path_steps/s", "vs_baseline": 0.0}
 
     def emit():
-        if errors:
-            out["error"] = errors
-        print(json.dumps(out), flush=True)
+        global _emitted
+        with _emit_lock:
+            if _emitted:
+                return
+            _emitted = True
+            if errors:
+                out["error"] = errors
+            print(json.dumps(out), flush=True)
+
+    def watchdog():
+        time.sleep(WATCHDOG_S)
+        errors.append(f"watchdog: exceeded {WATCHDOG_S:.0f}s; "
+                      f"hung in section {_current_section}")
+        _note(f"WATCHDOG fired in section {_current_section}: emitting "
+              f"partial JSON and force-exiting")
+        emit()
+        os._exit(0)
+
+    threading.Thread(target=watchdog, daemon=True).start()
 
     try:
         import jax
