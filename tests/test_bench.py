@@ -1,0 +1,93 @@
+"""Driver-contract tests for bench.py.
+
+The driver runs ``python bench.py`` at the end of every round and
+records stdout; round 4 was voided because a backend failure produced
+no JSON at all.  These tests pin the two resilience layers added since
+(analogue of the reference committing its profilings/ artifacts and
+the harness that produced them, /root/reference/profilings/timings.txt):
+
+- ``_attempt`` retries once and records the failure instead of
+  propagating (per-section exceptions cannot void the line);
+- the watchdog thread emits the partial JSON and force-exits when a
+  section HANGS (a dead tunnel hangs device calls without raising —
+  observed round 5 — which no try/except can catch).
+"""
+
+import importlib.util
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BENCH = os.path.join(REPO, "bench.py")
+
+
+def _load_bench():
+    spec = importlib.util.spec_from_file_location("bench_under_test", BENCH)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_attempt_retries_then_records(monkeypatch):
+    bench = _load_bench()
+    monkeypatch.setattr(bench, "RETRY_BACKOFF_S", 0.0)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    calls = []
+    errors = []
+
+    def flaky():
+        calls.append(1)
+        if len(calls) == 1:
+            raise RuntimeError("transient")
+        return {"ok": True}
+
+    assert bench._attempt(flaky, "flaky", errors) == {"ok": True}
+    assert errors == []          # recovered on the retry
+    assert len(calls) == 2
+
+    def dead():
+        raise RuntimeError("permanent")
+
+    assert bench._attempt(dead, "dead", errors) is None
+    assert len(errors) == 1 and "permanent" in errors[0]
+
+
+def test_attempt_tracks_current_section():
+    bench = _load_bench()
+    bench._attempt(lambda: 1, "markedsection", [])
+    assert bench._current_section == "markedsection"
+
+
+@pytest.mark.slow
+def test_watchdog_emits_partial_json_on_hang():
+    """WATCHDOG_S=2 fires inside the first timed section (CPU smoke
+    config still takes ~30 s): stdout must carry exactly one line,
+    valid JSON, rc 0, with an error naming the hung section — the
+    driver's worst-case capture."""
+    script = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "import importlib.util\n"
+        f"spec = importlib.util.spec_from_file_location('b', {BENCH!r})\n"
+        "bench = importlib.util.module_from_spec(spec)\n"
+        "spec.loader.exec_module(bench)\n"
+        "bench.WATCHDOG_S = 2.0\n"
+        "bench.main()\n"
+    )
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)   # no 8-virtual-device mesh needed
+    proc = subprocess.run([sys.executable, "-c", script],
+                          capture_output=True, text=True, timeout=300,
+                          env=env, cwd=REPO)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
+    assert len(lines) == 1, proc.stdout
+    out = json.loads(lines[0])
+    assert out["metric"] == "fe_path_steps_per_sec"
+    assert any("watchdog" in e for e in out["error"]), out
+    # the stderr stamps name the section the watchdog caught
+    assert "WATCHDOG fired in section" in proc.stderr
