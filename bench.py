@@ -188,13 +188,58 @@ def main() -> None:
         emit()
         return
 
+    if "--force-cpu" in sys.argv:
+        # re-exec'd child (see below): force CPU BEFORE the first
+        # backend touch; the flagged smoke line lands in ~3 min.
+        jax.config.update("jax_platforms", "cpu")
+        errors.append("backend first-touch hung/failed: CPU-fallback "
+                      "smoke config (see stderr stamps)")
+        on_tpu = False
+    else:
+        # First device touch runs in a daemon thread with a deadline:
+        # a dead tunnel HANGS device calls without raising (observed
+        # round 5: 50 min of silence), so neither _attempt nor a
+        # try/except ever fires.  On a hang, re-exec ourselves with
+        # --force-cpu — exec replaces the process, so the wedged axon
+        # client (and the stuck probe thread) are simply discarded.
+        probe_res: dict = {}
+
+        def first_touch():
+            try:
+                probe_res["tpu"] = _on_tpu()
+                probe_res["v"] = float(jnp.arange(4.0).sum())
+            except Exception as e:  # noqa: BLE001
+                probe_res["e"] = repr(e)
+
+        _note("backend first-touch probe (120s deadline)")
+        th = threading.Thread(target=first_touch, daemon=True)
+        th.start()
+        th.join(120.0)
+        if "v" not in probe_res:
+            _note(f"backend first-touch {'hung' if th.is_alive() else 'failed'}"
+                  f" ({probe_res.get('e', 'no response')}): re-exec "
+                  f"with --force-cpu")
+            sys.stdout.flush()
+            sys.stderr.flush()
+            try:
+                os.execv(sys.executable,
+                         [sys.executable, os.path.abspath(__file__),
+                          "--force-cpu"])
+            except OSError as e:
+                # can't re-exec (no __file__ on disk?): last resort is
+                # the in-process switch — may still trip the watchdog
+                # if the wedged client blocks clear-out, but the
+                # watchdog then emits the partial line.
+                errors.append(f"re-exec failed ({e}); in-process CPU "
+                              f"fallback")
+                jax.config.update("jax_platforms", "cpu")
+        on_tpu = bool(probe_res.get("tpu"))
+        _note(f"backend alive, on_tpu={on_tpu}")
+
     params = HestonParams()
     pv = params.as_array()
     k0, k1 = split_seed(1234)
     sw = jnp.stack([jnp.uint32(k0), jnp.uint32(k1)])
-    on_tpu = _attempt(_on_tpu, "backend_probe", errors, retries=1)
-    if on_tpu is None:
-        on_tpu = False
     # rng="tpu" (hardware PRNG) + packed phases is the fast engine;
     # philox is the reproducible default.  Bench the fast one, like
     # the reference benches its fastest variant (K3).
