@@ -304,3 +304,26 @@ def test_fe_stateful_method_epoch_parity_on_hw(srng):
     for _ in range(3):
         assert mp.compute().price == pytest.approx(
             ms.compute().price, rel=1e-6)
+
+
+@pytest.mark.parametrize("conditional", [False, True])
+def test_em_bench_config_prices_sanely_on_hw(conditional):
+    """bench.py's EM section shapes (2^18 paths x N=10^3 — the
+    reference's 512x512 grid config, execution_time_comparison.png):
+    pins the exact (N, n_paths, rng, poisson_cut) the driver times and
+    keeps its Mosaic compile warm in the cross-process cache (a cold
+    EM compile is minutes; the bench watchdog budget assumes warm).
+    Statistical contract only — the golden==kernel bitwise check runs
+    at the small shape above."""
+    _require_tpu()
+    from nmch_tpu.oracle import heston_call_undiscounted
+    from nmch_tpu.results import SimResult
+    from nmch_tpu.ops.em import FAST_POISSON_CUT
+    N, n_paths = 1000, 1 << 18
+    m, m2 = jax.device_get(em_moments_pallas(
+        P.as_array(), SW, jnp.uint32(0), jnp.uint32(0), N=N,
+        n_paths=n_paths, rng="threefry4", conditional=conditional,
+        poisson_cut=FAST_POISSON_CUT, interpret=False))
+    res = SimResult(float(m), float(m2), n_paths)
+    # exact scheme: no discretization bias term needed
+    assert abs(res.price - heston_call_undiscounted(P)) < 4 * res.ci_error
