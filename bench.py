@@ -108,6 +108,13 @@ RETRY_BACKOFF_S = 120.0   # a killed/wedged tunnel recovers in ~1-3 min
 # sections completed, plus an error naming the hung section) and
 # force-exits so the driver ALWAYS gets the line.
 WATCHDOG_S = 2700.0
+# liveness probe runs in a SUBPROCESS (see main): a hung backend init
+# can hold the GIL, starving any in-process deadline thread — only a
+# separate process is both killable and GIL-independent.  Tests set
+# FIRST_TOUCH_PROBE=False for hermeticity (probe outcome would depend
+# on live tunnel state).
+FIRST_TOUCH_PROBE = True
+PROBE_DEADLINE_S = 150.0
 
 _current_section = "startup"
 _emit_lock = threading.Lock()
@@ -123,6 +130,31 @@ def _note(msg: str) -> None:
     or slow-compile diagnosable from the captured log)."""
     print(f"# bench {time.strftime('%H:%M:%S')} {msg}",
           file=sys.stderr, flush=True)
+
+
+def _probe_backend_subprocess():
+    """'TPU' / 'CPUONLY' if a fresh process completes one device
+    round-trip within the deadline; None if it hangs, dies, or answers
+    garbage (tunnel outage)."""
+    import subprocess
+    src = ("import jax\n"
+           "devs = jax.devices()\n"
+           "import jax.numpy as jnp\n"
+           "assert float(jnp.arange(4.0).sum()) == 6.0\n"
+           "print('TPU' if any(d.platform != 'cpu' for d in devs)"
+           " else 'CPUONLY', flush=True)\n")
+    _note(f"backend liveness probe subprocess "
+          f"({PROBE_DEADLINE_S:.0f}s deadline)")
+    try:
+        r = subprocess.run([sys.executable, "-c", src],
+                           capture_output=True, text=True,
+                           timeout=PROBE_DEADLINE_S)
+    except subprocess.TimeoutExpired:
+        return None
+    lines = (r.stdout or "").strip().splitlines()
+    last = lines[-1] if lines else ""
+    return last if r.returncode == 0 and last in ("TPU", "CPUONLY") \
+        else None
 
 
 def _attempt(fn, name: str, errors: list, retries: int = 1):
@@ -195,30 +227,20 @@ def main() -> None:
         errors.append("backend first-touch hung/failed: CPU-fallback "
                       "smoke config (see stderr stamps)")
         on_tpu = False
-    else:
-        # First device touch runs in a daemon thread with a deadline:
-        # a dead tunnel HANGS device calls without raising (observed
-        # round 5: 50 min of silence), so neither _attempt nor a
-        # try/except ever fires.  On a hang, re-exec ourselves with
-        # --force-cpu — exec replaces the process, so the wedged axon
-        # client (and the stuck probe thread) are simply discarded.
-        probe_res: dict = {}
-
-        def first_touch():
-            try:
-                probe_res["tpu"] = _on_tpu()
-                probe_res["v"] = float(jnp.arange(4.0).sum())
-            except Exception as e:  # noqa: BLE001
-                probe_res["e"] = repr(e)
-
-        _note("backend first-touch probe (120s deadline)")
-        th = threading.Thread(target=first_touch, daemon=True)
-        th.start()
-        th.join(120.0)
-        if "v" not in probe_res:
-            _note(f"backend first-touch {'hung' if th.is_alive() else 'failed'}"
-                  f" ({probe_res.get('e', 'no response')}): re-exec "
-                  f"with --force-cpu")
+    elif FIRST_TOUCH_PROBE:
+        # Liveness probe in a SUBPROCESS with a deadline — not a
+        # thread, and not in-process.  A dead tunnel HANGS device
+        # calls without raising (observed round 5: 50 min of silence),
+        # so no try/except fires; worse, in the deeper outage mode the
+        # backend INIT hangs while holding the GIL, so a probe thread
+        # starves the main thread (and the watchdog) too — observed
+        # live.  Only a separate process can be both deadline-killed
+        # and GIL-independent.  On a dead probe, re-exec with
+        # --force-cpu: this parent has made no backend touch (imports
+        # only — verified backend-free), and exec discards everything.
+        verdict = _probe_backend_subprocess()
+        if verdict is None:
+            _note("backend probe dead/hung: re-exec with --force-cpu")
             sys.stdout.flush()
             sys.stderr.flush()
             try:
@@ -226,15 +248,19 @@ def main() -> None:
                          [sys.executable, os.path.abspath(__file__),
                           "--force-cpu"])
             except OSError as e:
-                # can't re-exec (no __file__ on disk?): last resort is
-                # the in-process switch — may still trip the watchdog
-                # if the wedged client blocks clear-out, but the
-                # watchdog then emits the partial line.
-                errors.append(f"re-exec failed ({e}); in-process CPU "
-                              f"fallback")
+                # can't re-exec (no __file__ on disk?): in-place CPU
+                # switch — safe, this process has not initialized any
+                # backend yet.
+                errors.append(f"backend dead; re-exec failed ({e}); "
+                              f"in-process CPU fallback")
                 jax.config.update("jax_platforms", "cpu")
-        on_tpu = bool(probe_res.get("tpu"))
+                verdict = "CPUONLY"
+        on_tpu = verdict == "TPU"
         _note(f"backend alive, on_tpu={on_tpu}")
+    else:
+        # probe disabled (hermetic tests): cheap in-process check
+        on_tpu = bool(_attempt(_on_tpu, "backend_probe", errors,
+                               retries=0))
 
     params = HestonParams()
     pv = params.as_array()

@@ -62,6 +62,44 @@ def test_attempt_tracks_current_section():
     assert bench._current_section == "markedsection"
 
 
+def test_probe_subprocess_detects_hang(monkeypatch):
+    """The subprocess liveness probe: a child that never answers
+    within the deadline reads as a dead backend (None) — the
+    GIL-independent outage detection — while a prompt answer passes
+    through.  The probe child is swapped for scripted stand-ins by
+    patching subprocess.run (original captured first)."""
+    import subprocess
+    bench = _load_bench()
+    real_run = subprocess.run
+    py = sys.executable
+
+    def hung_child(cmd, **kw):
+        return real_run([py, "-c", "import time; time.sleep(60)"], **kw)
+
+    monkeypatch.setattr(bench, "PROBE_DEADLINE_S", 2.0)
+    monkeypatch.setattr(subprocess, "run", hung_child)
+    assert bench._probe_backend_subprocess() is None
+
+    def cpu_child(cmd, **kw):
+        return real_run([py, "-c", "print('CPUONLY')"], **kw)
+
+    monkeypatch.setattr(bench, "PROBE_DEADLINE_S", 30.0)
+    monkeypatch.setattr(subprocess, "run", cpu_child)
+    assert bench._probe_backend_subprocess() == "CPUONLY"
+
+    def garbage_child(cmd, **kw):
+        return real_run([py, "-c", "print('weather report')"], **kw)
+
+    monkeypatch.setattr(subprocess, "run", garbage_child)
+    assert bench._probe_backend_subprocess() is None
+
+    def dead_child(cmd, **kw):
+        return real_run([py, "-c", "raise SystemExit(3)"], **kw)
+
+    monkeypatch.setattr(subprocess, "run", dead_child)
+    assert bench._probe_backend_subprocess() is None
+
+
 @pytest.mark.slow
 def test_watchdog_emits_partial_json_on_hang():
     """WATCHDOG_S=2 fires inside the first timed section (CPU smoke
@@ -76,6 +114,9 @@ def test_watchdog_emits_partial_json_on_hang():
         "bench = importlib.util.module_from_spec(spec)\n"
         "spec.loader.exec_module(bench)\n"
         "bench.WATCHDOG_S = 2.0\n"
+        # hermetic: the subprocess liveness probe's outcome depends on
+        # live tunnel state; the in-process check suffices on CPU
+        "bench.FIRST_TOUCH_PROBE = False\n"
         "bench.main()\n"
     )
     env = dict(os.environ)
