@@ -108,6 +108,13 @@ RETRY_BACKOFF_S = 120.0   # a killed/wedged tunnel recovers in ~1-3 min
 # sections completed, plus an error naming the hung section) and
 # force-exits so the driver ALWAYS gets the line.
 WATCHDOG_S = 2700.0
+# hard ceiling on the WHOLE process even with steady progress (the
+# watchdog's WATCHDOG_S budget is per-section idle time, reset on
+# every section start/finish — round-5 review: a fixed whole-process
+# deadline would false-kill a legit cold run whose sections are all
+# progressing, e.g. FE+QMC ~25 min + EM first-time Mosaic compiles +
+# two transient retries)
+TOTAL_DEADLINE_S = 5400.0
 # liveness probe runs in a SUBPROCESS (see main): a hung backend init
 # can hold the GIL, starving any in-process deadline thread — only a
 # separate process is both killable and GIL-independent.  Tests set
@@ -119,6 +126,8 @@ PROBE_DEADLINE_S = 150.0
 _current_section = "startup"
 _emit_lock = threading.Lock()
 _emitted = False
+_t0 = time.monotonic()
+_last_progress = time.monotonic()
 EM_PATHS = 1 << 18     # the reference's 512x512 EM grid config
 EM_N = 1000
 EM_BASELINE = EM_PATHS * EM_N / 0.600   # ~600 ms, BASELINE.md:24
@@ -135,41 +144,33 @@ def _note(msg: str) -> None:
 def _probe_backend_subprocess():
     """'TPU' / 'CPUONLY' if a fresh process completes one device
     round-trip within the deadline; None if it hangs, dies, or answers
-    garbage (tunnel outage)."""
-    import subprocess
-    src = ("import jax\n"
-           "devs = jax.devices()\n"
-           "import jax.numpy as jnp\n"
-           "assert float(jnp.arange(4.0).sum()) == 6.0\n"
-           "print('TPU' if any(d.platform != 'cpu' for d in devs)"
-           " else 'CPUONLY', flush=True)\n")
+    garbage (tunnel outage).  Thin wrapper over the shared helper
+    (nmch_tpu/utils/backend.py — also used by __graft_entry__)."""
+    from nmch_tpu.utils.backend import probe_default_backend
     _note(f"backend liveness probe subprocess "
           f"({PROBE_DEADLINE_S:.0f}s deadline)")
-    try:
-        r = subprocess.run([sys.executable, "-c", src],
-                           capture_output=True, text=True,
-                           timeout=PROBE_DEADLINE_S)
-    except subprocess.TimeoutExpired:
-        return None
-    lines = (r.stdout or "").strip().splitlines()
-    last = lines[-1] if lines else ""
-    return last if r.returncode == 0 and last in ("TPU", "CPUONLY") \
-        else None
+    return probe_default_backend(PROBE_DEADLINE_S)
 
 
 def _attempt(fn, name: str, errors: list, retries: int = 1):
-    """Run fn(); on failure sleep + retry once, then record and None."""
-    global _current_section
+    """Run fn(); on failure sleep + retry once, then record and None.
+
+    Stamps _last_progress at every attempt boundary so the watchdog's
+    budget is per-section idle time, not whole-process wall clock."""
+    global _current_section, _last_progress
     _current_section = name
     for a in range(retries + 1):
         try:
+            _last_progress = time.monotonic()
             t0 = time.perf_counter()
             _note(f"section {name}: start (attempt {a + 1})")
             res = fn()
+            _last_progress = time.monotonic()
             _note(f"section {name}: done in "
                   f"{time.perf_counter() - t0:.1f}s")
             return res
         except Exception as e:  # noqa: BLE001 — resilience is the point
+            _last_progress = time.monotonic()
             msg = f"{name}: {type(e).__name__}: {e}"
             _note(f"section failed (attempt {a + 1}): {msg}")
             traceback.print_exc()
@@ -181,6 +182,8 @@ def _attempt(fn, name: str, errors: list, retries: int = 1):
 
 
 def main() -> None:
+    global _t0, _last_progress
+    _t0 = _last_progress = time.monotonic()
     errors: list[str] = []
     out: dict = {"metric": "fe_path_steps_per_sec", "value": 0.0,
                  "unit": "path_steps/s", "vs_baseline": 0.0}
@@ -190,19 +193,44 @@ def main() -> None:
         with _emit_lock:
             if _emitted:
                 return
+            # snapshot + fallback: the watchdog thread can call this
+            # while the main thread mutates `out` (round-5 review —
+            # json.dumps on a changing dict raises, and setting
+            # _emitted before a successful print would then suppress
+            # the line forever)
+            try:
+                payload = dict(out)
+                if errors:
+                    payload["error"] = list(errors)
+                line = json.dumps(payload)
+            except Exception:  # noqa: BLE001 — racing mutation
+                line = json.dumps(
+                    {"metric": "fe_path_steps_per_sec", "value": 0.0,
+                     "unit": "path_steps/s", "vs_baseline": 0.0,
+                     "error": ["emit: out snapshot failed mid-mutation"]})
+            print(line, flush=True)
             _emitted = True
-            if errors:
-                out["error"] = errors
-            print(json.dumps(out), flush=True)
 
     def watchdog():
-        time.sleep(WATCHDOG_S)
-        errors.append(f"watchdog: exceeded {WATCHDOG_S:.0f}s; "
-                      f"hung in section {_current_section}")
+        # per-section idle budget (reset by _attempt on every section
+        # boundary) + an absolute whole-process ceiling; a legit cold
+        # run whose sections all progress is NOT killed at WATCHDOG_S
+        while True:
+            time.sleep(max(0.25, min(30.0, WATCHDOG_S / 4.0)))
+            now = time.monotonic()
+            if (now - _last_progress > WATCHDOG_S
+                    or now - _t0 > TOTAL_DEADLINE_S):
+                break
+        errors.append(
+            f"watchdog: no section progress for {WATCHDOG_S:.0f}s "
+            f"(or total > {TOTAL_DEADLINE_S:.0f}s); "
+            f"hung in section {_current_section}")
         _note(f"WATCHDOG fired in section {_current_section}: emitting "
               f"partial JSON and force-exiting")
-        emit()
-        os._exit(0)
+        try:
+            emit()
+        finally:
+            os._exit(0)
 
     threading.Thread(target=watchdog, daemon=True).start()
 
@@ -240,7 +268,18 @@ def main() -> None:
         # only — verified backend-free), and exec discards everything.
         verdict = _probe_backend_subprocess()
         if verdict is None:
-            _note("backend probe dead/hung: re-exec with --force-cpu")
+            # one retry after a backoff before writing the backend off:
+            # CLAUDE.md documents transient wedges (a killed
+            # mid-compile process stalls the tunnel ~1-3 min) that a
+            # single 150-s probe can land inside (round-5 review — the
+            # old in-process check had this retry; keep it)
+            _note(f"backend probe dead/hung: retrying once after "
+                  f"{RETRY_BACKOFF_S:.0f}s (transient tunnel wedge?)")
+            time.sleep(RETRY_BACKOFF_S)
+            verdict = _probe_backend_subprocess()
+        if verdict is None:
+            _note("backend probe dead/hung twice: re-exec with "
+                  "--force-cpu")
             sys.stdout.flush()
             sys.stderr.flush()
             try:
@@ -262,10 +301,22 @@ def main() -> None:
         on_tpu = bool(_attempt(_on_tpu, "backend_probe", errors,
                                retries=0))
 
-    params = HestonParams()
-    pv = params.as_array()
-    k0, k1 = split_seed(1234)
-    sw = jnp.stack([jnp.uint32(k0), jnp.uint32(k1)])
+    # first in-process backend touch: guarded like any section (round-5
+    # review — a backend that passed the probe but then RAISES at the
+    # first device op, the exact round-4 FAILED_PRECONDITION mode,
+    # must degrade to the error-flagged JSON, not void the line)
+    def make_inputs():
+        params = HestonParams()
+        pv = params.as_array()
+        k0, k1 = split_seed(1234)
+        sw = jnp.stack([jnp.uint32(k0), jnp.uint32(k1)])
+        return pv, sw, k0, k1
+
+    inputs = _attempt(make_inputs, "inputs", errors)
+    if inputs is None:
+        emit()
+        return
+    pv, sw, k0, k1 = inputs
     # rng="tpu" (hardware PRNG) + packed phases is the fast engine;
     # philox is the reproducible default.  Bench the fast one, like
     # the reference benches its fastest variant (K3).
@@ -438,7 +489,7 @@ def main() -> None:
         keys = {"em_value": round(plain_tput, 1),
                 "em_vs_baseline": round(plain_tput / EM_BASELINE, 4),
                 "em_cond_value": round(cond_tput, 1)}
-        if cond_var > 0:
+        if plain_var > 0 and cond_var > 0:
             ratio = plain_var / cond_var
             keys["em_cond_variance_ratio"] = round(ratio, 2)
             keys["em_cond_error_matched"] = round(
@@ -462,4 +513,14 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except SystemExit:
+        raise
+    except Exception as _e:  # noqa: BLE001 — last-resort JSON guarantee
+        traceback.print_exc()
+        print(json.dumps(
+            {"metric": "fe_path_steps_per_sec", "value": 0.0,
+             "unit": "path_steps/s", "vs_baseline": 0.0,
+             "error": [f"main: {type(_e).__name__}: {_e}"[:300]]}),
+            flush=True)

@@ -17,3 +17,37 @@ _TPU_PLATFORMS = ("tpu", "axon")
 def on_tpu() -> bool:
     """True when the default jax backend is a real TPU (incl. axon)."""
     return jax.default_backend() in _TPU_PLATFORMS
+
+
+def probe_default_backend(deadline_s: float = 150.0):
+    """'TPU' / 'CPUONLY' if a FRESH SUBPROCESS completes one device
+    round-trip within the deadline; None if it hangs, dies, or answers
+    garbage (tunnel outage).
+
+    Shared by bench.py and __graft_entry__ (round-5 review: the two
+    hand-rolled copies had already diverged).  It must be a subprocess,
+    not a thread or in-process deadline: a tunneled-TPU outage makes
+    device calls hang forever instead of raising, and in the deeper
+    observed mode backend INIT hangs while HOLDING THE GIL, starving
+    any in-process watcher — only a separate process is both
+    deadline-killable and GIL-independent.  Calling this makes NO
+    backend touch in the calling process.
+    """
+    import subprocess
+    import sys
+    src = ("import jax\n"
+           "devs = jax.devices()\n"
+           "import jax.numpy as jnp\n"
+           "assert float(jnp.arange(4.0).sum()) == 6.0\n"
+           "print('TPU' if any(d.platform != 'cpu' for d in devs)"
+           " else 'CPUONLY', flush=True)\n")
+    try:
+        r = subprocess.run([sys.executable, "-c", src],
+                           capture_output=True, text=True,
+                           timeout=deadline_s)
+    except (subprocess.TimeoutExpired, OSError):
+        return None
+    lines = (r.stdout or "").strip().splitlines()
+    last = lines[-1] if lines else ""
+    return last if r.returncode == 0 and last in ("TPU", "CPUONLY") \
+        else None
