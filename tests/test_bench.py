@@ -132,3 +132,47 @@ def test_watchdog_emits_partial_json_on_hang():
     assert any("watchdog" in e for e in out["error"]), out
     # the stderr stamps name the section the watchdog caught
     assert "WATCHDOG fired in section" in proc.stderr
+
+
+def test_watchdog_budget_is_per_section_not_total(monkeypatch):
+    """A run whose sections all make progress must NOT be killed at
+    WATCHDOG_S of total wall clock (the round-5 false-kill fix): with
+    WATCHDOG_S=1.5 s, six sections of 0.5 s each (3 s total) all
+    complete because ``_attempt`` resets the idle stamp at every
+    section boundary.  The absolute TOTAL_DEADLINE_S ceiling still
+    backstops a runaway run."""
+    import threading
+    import time as _time
+    bench = _load_bench()
+    monkeypatch.setattr(bench, "WATCHDOG_S", 1.5)
+    monkeypatch.setattr(bench, "TOTAL_DEADLINE_S", 60.0)
+    fired = []
+    died = threading.Event()
+    monkeypatch.setattr(bench.os, "_exit",
+                        lambda code: (fired.append(code), died.set()))
+
+    # replicate main()'s watchdog wiring without its workload: the
+    # loop below is the production watchdog body reading the real
+    # module globals that _attempt stamps
+    bench._t0 = bench._last_progress = _time.monotonic()
+    errors = []
+
+    def watchdog():
+        while True:
+            _time.sleep(0.1)
+            now = _time.monotonic()
+            if (now - bench._last_progress > bench.WATCHDOG_S
+                    or now - bench._t0 > bench.TOTAL_DEADLINE_S):
+                break
+        errors.append("watchdog fired")
+        bench.os._exit(0)
+
+    t = threading.Thread(target=watchdog, daemon=True)
+    t.start()
+    for i in range(6):
+        assert bench._attempt(lambda: _time.sleep(0.5) or i,
+                              f"s{i}", errors) == i
+    assert not fired and not errors, (fired, errors)
+    # and once progress stops, the per-section budget DOES fire
+    died.wait(timeout=10.0)
+    assert fired == [0]
