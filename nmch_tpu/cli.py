@@ -106,6 +106,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def run(argv=None) -> int:
+    from .utils.backend import honor_force_cpu_env
+    honor_force_cpu_env()   # NMCH_TPU_FORCE_CPU=1: outage escape hatch
     parser = build_parser()
     args = parser.parse_args(argv)
     if args.engine is None:

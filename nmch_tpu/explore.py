@@ -161,6 +161,8 @@ def sweep_batched(cfg: SimConfig, seed: int, out=sys.stdout,
 
 
 def run(argv=None) -> int:
+    from .utils.backend import honor_force_cpu_env
+    honor_force_cpu_env()   # NMCH_TPU_FORCE_CPU=1: outage escape hatch
     p = argparse.ArgumentParser(
         prog="exploration",
         description="(k, theta, sigma) sweep; CSV on stdout")

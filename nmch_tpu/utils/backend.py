@@ -19,6 +19,25 @@ def on_tpu() -> bool:
     return jax.default_backend() in _TPU_PLATFORMS
 
 
+def honor_force_cpu_env() -> bool:
+    """Pin jax to CPU when ``NMCH_TPU_FORCE_CPU`` is set (1/true/yes).
+
+    User-facing escape hatch for tunneled-TPU outages: a dead tunnel
+    makes the first device call HANG forever instead of raising, and
+    on managed hosts a sitecustomize pins ``jax_platforms``
+    programmatically so the standard ``JAX_PLATFORMS=cpu`` env var is
+    silently ignored.  Called by the CLI entry points
+    (``nmch_tpu.cli``, ``nmch_tpu.explore``) before any backend touch;
+    returns True when it pinned CPU.
+    """
+    import os
+    if os.environ.get("NMCH_TPU_FORCE_CPU", "").strip().lower() in (
+            "1", "true", "yes"):
+        jax.config.update("jax_platforms", "cpu")
+        return True
+    return False
+
+
 def probe_default_backend(deadline_s: float = 150.0):
     """'TPU' / 'CPUONLY' if a FRESH SUBPROCESS completes one device
     round-trip within the deadline; None if it hangs, dies, or answers

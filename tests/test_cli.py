@@ -177,3 +177,41 @@ def test_cli_em_stateful_explicit_pallas_is_parser_error(capsys):
                  "--engine", "pallas", "--NB", "2", "--N", "8"])
     assert ex.value.code == 2
     assert "scan" in capsys.readouterr().err
+
+
+def test_force_cpu_env_escape_hatch(monkeypatch):
+    """NMCH_TPU_FORCE_CPU=1 pins jax_platforms to cpu before any
+    backend touch (the documented escape hatch for tunneled-TPU
+    outages, where the first device call hangs forever and
+    JAX_PLATFORMS=cpu is eaten by a managed-host sitecustomize)."""
+    import jax
+    from nmch_tpu.utils.backend import honor_force_cpu_env
+    monkeypatch.setenv("NMCH_TPU_FORCE_CPU", "1")
+    assert honor_force_cpu_env() is True
+    assert jax.config.jax_platforms == "cpu"
+    monkeypatch.setenv("NMCH_TPU_FORCE_CPU", "0")
+    assert honor_force_cpu_env() is False
+    monkeypatch.delenv("NMCH_TPU_FORCE_CPU")
+    assert honor_force_cpu_env() is False
+
+
+def test_force_cpu_env_cli_subprocess():
+    """End-to-end: a fresh process with NMCH_TPU_FORCE_CPU=1 prices on
+    CPU through the real CLI entry point without inheriting the test
+    conftest's CPU pin — the path a user takes during an outage."""
+    import json
+    import os
+    import subprocess
+    import sys
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["NMCH_TPU_FORCE_CPU"] = "1"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, "-m", "nmch_tpu.cli", "--method", "fe",
+         "--engine", "scan", "--NTPB", "128", "--NB", "2", "--N", "20",
+         "--json"],
+        capture_output=True, text=True, timeout=300, env=env, cwd=repo)
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.splitlines()[-1])
+    assert 0.02 < out["price"] < 0.3
